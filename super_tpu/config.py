@@ -1,0 +1,159 @@
+"""Typed configuration for the SuPer-TPU pipeline.
+
+Replaces the reference's argparse flag soup (reference: options.py:8-350) with
+frozen dataclasses that are hashable, so they can be closed over as static
+arguments of ``jax.jit``.  Field names and defaults mirror the reference flags
+so configs translate one-to-one; TPU-specific capacity fields are new (the
+reference uses dynamic shapes, we carry fixed capacities + masks).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class LossConfig:
+    """Residual-stack toggles and weights (reference: options.py:213-250,331-350)."""
+
+    sf_point_plane: bool = True
+    sf_point_plane_weight: float = 1.0
+    mesh_arap: bool = True
+    mesh_arap_weight: float = 10.0
+    mesh_rot: bool = True
+    mesh_rot_weight: float = 1.0
+    mesh_face: bool = False
+    mesh_face_weight: float = 1.0
+    sf_corr: bool = False
+    sf_corr_weight: float = 1e-3
+    sf_corr_loss_type: str = "point-point"
+    sf_corr_match_renderimg: bool = False
+    render_loss: bool = False
+    render_loss_weight: float = 1e-4
+    # Semantic-SuPer (reference: options.py:331-343)
+    sf_hard_seg_point_plane: bool = False
+    sf_soft_seg_point_plane: bool = False
+    sf_bn_morph: bool = False
+    sf_bn_morph_weight: float = 0.1
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverConfig:
+    """Per-frame warp-field solver settings (reference: options.py:26-45)."""
+
+    use_derived_gradient: bool = True   # True -> LM path (super/LM.py), False -> autograd
+    optimizer: str = "SGD"              # autograd path: "SGD" | "Adam"
+    learning_rate: float = 5e-5
+    num_iterations: int = 10            # --num_optimize_iterations
+    # LM damping schedule (reference: super/LM.py:81,109-117)
+    lm_damping_init: float = 10.0
+    lm_damping_factor: float = 7.5
+    # Linear solve: "cholesky" (dense, exact; reference super/LM.py:37-51) or
+    # "pcg" (block-Jacobi preconditioned CG on the block-sparse JTJ; TPU-native
+    # path that scales to dense ED graphs).
+    linear_solver: str = "cholesky"
+    pcg_iterations: int = 64
+    pcg_tol: float = 1e-12
+
+
+@dataclasses.dataclass(frozen=True)
+class CapacityConfig:
+    """Fixed capacities for the mask-carried state (TPU-specific; no reference
+    equivalent -- the reference grows/shrinks tensors per frame)."""
+
+    surfel_capacity: int = 1 << 17        # max live surfels (N_max)
+    node_capacity: int = 512              # max ED nodes (J_max)
+    edge_capacity: int = 2048             # max ED edges
+    triangle_capacity: int = 1024         # max ED triangles
+    new_surfel_capacity: int = 1 << 17    # max surfel candidates per frame (<= H*W)
+    proj_map_depth: int = 16              # per-pixel projection layers (reference: nodes.py:379)
+    track_capacity: int = 20              # tracked GT points (reference: 20)
+
+
+@dataclasses.dataclass(frozen=True)
+class SuPerConfig:
+    """Top-level pipeline config.
+
+    Mirrors reference SuPerOptions / SemanticSuPerOptions defaults
+    (options.py:8-283, 285-350).
+    """
+
+    method: str = "super"                 # "super" | "semantic-super"
+    data: str = "superv1"                 # "superv1" | "superv2"
+    height: int = 480
+    width: int = 640
+
+    # KNN anchoring (options.py:46-51)
+    num_ed_neighbors: int = 4             # K for node-node graph weights
+    num_neighbors: int = 4                # K for surfel-node anchoring
+
+    # Fusion thresholds (options.py:52-65)
+    th_dist: float = 0.1
+    th_cosine_ang: float = 0.4
+    th_time_steps: int = 30
+
+    # Fusion stage toggles (options.py:66-77)
+    disable_removing_unstable_surfels: bool = False
+    disable_merging_new_surfels: bool = False
+    disable_merging_exist_surfels: bool = False
+    disable_adding_new_surfels: bool = False
+
+    # ED graph (options.py:95-97)
+    mesh_step_size: int = 30
+
+    # Depth preprocessing (options.py:99-164 & data_loader.py:374-433)
+    normal_model: str = "8neighbors"      # "naive" | "8neighbors"
+    depth_model: Optional[str] = None     # None | "monodepth2_stereo" | "raft_stereo"
+    load_depth: bool = True
+    min_depth: float = 0.1
+    max_depth: float = 80.0
+    depth_width_range: Tuple[float, float] = (0.02, 0.98)
+    dilate_invalid_kernel: int = 5
+    depth_filter_kernel_size: int = -1
+    post_process: bool = False
+    load_valid_mask: bool = False
+    del_seg_classes: Tuple[int, ...] = ()
+    disable_ssim_conf: bool = True
+
+    # Semantic-SuPer (options.py:285-350)
+    num_classes: int = 3
+    hard_seg: bool = False
+    load_seg: bool = False
+    seg_model: Optional[str] = None
+
+    # Renderer (options.py:173-180)
+    renderer_rad: float = 2e-4
+
+    losses: LossConfig = dataclasses.field(default_factory=LossConfig)
+    solver: SolverConfig = dataclasses.field(default_factory=SolverConfig)
+    capacity: CapacityConfig = dataclasses.field(default_factory=CapacityConfig)
+
+    # Evaluation
+    save_sample_freq: int = 10
+    tracking_gt_file: Optional[str] = None
+    edge_ids: Tuple[int, ...] = ()
+
+    @property
+    def image_pixels(self) -> int:
+        return self.height * self.width
+
+    def replace(self, **kw) -> "SuPerConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def semantic_super_config(**overrides) -> SuPerConfig:
+    """Semantic-SuPer defaults (reference: options.py:285-350 set_defaults)."""
+    base = SuPerConfig(
+        method="semantic-super",
+        data="superv2",
+        losses=LossConfig(
+            sf_point_plane=False,
+            sf_soft_seg_point_plane=True,
+            mesh_arap=False,
+            mesh_face=True,
+            sf_bn_morph=True,
+            render_loss=True,
+        ),
+    )
+    return dataclasses.replace(base, **overrides)
