@@ -1,0 +1,136 @@
+#!/usr/bin/env python
+"""SuPer-TPU tracking CLI (equivalent of reference run_super.py).
+
+Runs the LM tracking pipeline on either:
+- a synthetic deforming-surface sequence (default, no data needed), or
+- a SuPer-layout data directory (--data_dir with rgb/ depth/ subdirs and an
+  optional tracking GT .npy), matching reference CLI flags where sensible.
+
+Examples:
+  python run_super.py --synthetic --num_frames 50
+  python run_super.py --data_dir ~/v1_520_pairs --load_depth \
+      --tracking_gt_file left_pts.npy --sf_point_plane --mesh_arap --mesh_rot
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="SuPer-TPU tracker")
+    p.add_argument("--synthetic", action="store_true",
+                   help="run on a generated deforming surface with exact GT")
+    p.add_argument("--num_frames", type=int, default=50)
+    p.add_argument("--height", type=int, default=480)
+    p.add_argument("--width", type=int, default=640)
+    p.add_argument("--mesh_step_size", type=int, default=30)
+    p.add_argument("--num_optimize_iterations", type=int, default=10)
+    p.add_argument("--method", default="super",
+                   choices=["super", "semantic-super"])
+    p.add_argument("--data", default="superv1", choices=["superv1", "superv2"])
+    p.add_argument("--data_dir", default=None)
+    p.add_argument("--rgb_dir", default="rgb")
+    p.add_argument("--depth_dir", default="depth")
+    p.add_argument("--seg_dir", default="seg")
+    p.add_argument("--start_id", type=int, default=4)
+    p.add_argument("--end_id", type=int, default=521)
+    p.add_argument("--load_depth", action="store_true", default=True)
+    p.add_argument("--load_seg", action="store_true")
+    p.add_argument("--depth_ext", default=".npy")
+    p.add_argument("--img_ext", default=".png")
+    p.add_argument("--min_depth", type=float, default=0.1)
+    p.add_argument("--max_depth", type=float, default=80.0)
+    p.add_argument("--tracking_gt_file", default=None)
+    p.add_argument("--sf_point_plane", action="store_true", default=True)
+    p.add_argument("--mesh_arap", action="store_true", default=True)
+    p.add_argument("--mesh_rot", action="store_true", default=True)
+    p.add_argument("--use_derived_gradient", action="store_true", default=True)
+    p.add_argument("--normal_model", default="8neighbors",
+                   choices=["naive", "8neighbors"])
+    p.add_argument("--th_dist", type=float, default=0.1)
+    p.add_argument("--th_cosine_ang", type=float, default=0.4)
+    p.add_argument("--th_time_steps", type=int, default=30)
+    p.add_argument("--cpu", action="store_true", help="force CPU backend")
+    p.add_argument("--output_json", default=None)
+    p.add_argument("--verbose", action="store_true")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_argparser().parse_args(argv)
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from super_tpu.config import CapacityConfig, LossConfig, SuPerConfig
+    from super_tpu.pipeline import SuPerPipeline
+
+    from super_tpu.core.graph import grid_layout
+
+    anchors, _, _ = grid_layout(args.height, args.width, args.mesh_step_size)
+
+    def pow2_at_least(n):
+        p = 1
+        while p < n:
+            p *= 2
+        return p
+
+    node_cap = pow2_at_least(len(anchors))
+    surfel_cap = pow2_at_least(2 * args.height * args.width)
+    cfg = SuPerConfig(
+        method=args.method,
+        data=args.data,
+        height=args.height,
+        width=args.width,
+        mesh_step_size=args.mesh_step_size,
+        normal_model=args.normal_model,
+        th_dist=args.th_dist,
+        th_cosine_ang=args.th_cosine_ang,
+        th_time_steps=args.th_time_steps,
+        losses=LossConfig(
+            sf_point_plane=args.sf_point_plane,
+            mesh_arap=args.mesh_arap,
+            mesh_rot=args.mesh_rot,
+        ),
+        capacity=CapacityConfig(
+            surfel_capacity=surfel_cap,
+            node_capacity=node_cap,
+            edge_capacity=4 * node_cap,
+            triangle_capacity=2 * node_cap,
+        ),
+    )
+    import dataclasses
+    cfg = cfg.replace(solver=dataclasses.replace(
+        cfg.solver, num_iterations=args.num_optimize_iterations,
+        use_derived_gradient=args.use_derived_gradient))
+
+    if args.synthetic or args.data_dir is None:
+        from super_tpu.data.synthetic import default_intrinsics, generate
+        intr = default_intrinsics(args.height, args.width)
+        seq = generate(args.num_frames, args.height, args.width, intr=intr)
+        pipe = SuPerPipeline(cfg, intr)
+        gt3 = seq.gt_xy
+        metrics = pipe.run(seq.depths, seq.colors, gt_xy=gt3,
+                           gt_valid=seq.gt_valid, verbose=args.verbose)
+    else:
+        from super_tpu.data.superv1 import load_sequence
+        intr, loaded = load_sequence(cfg, args)
+        pipe = SuPerPipeline(cfg, intr)
+        metrics = pipe.run(loaded.depths, loaded.colors,
+                           gt_xy=loaded.gt_xy, gt_valid=loaded.gt_valid,
+                           segs=loaded.segs, seg_confs=loaded.seg_confs,
+                           verbose=args.verbose)
+
+    print(json.dumps(metrics, indent=2))
+    if args.output_json:
+        with open(args.output_json, "w") as f:
+            json.dump(metrics, f)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,234 @@
+"""Depth-map -> surfel-candidate preprocessing (reference: utils/data_loader.py:333-523).
+
+Dense, pixel-indexed, jit-compiled: every map stays (H, W); validity is a
+mask.  NaNs are used *internally* exactly where the reference uses them
+(invalid depth propagates through backprojection and normal estimation),
+then converted to (mask, zeros) at the FrameData boundary so downstream
+kernels are NaN-free.
+
+Covered stages:
+1. invalid-region masking per dataset (superv1/superv2 rules,
+   data_loader.py:374-433),
+2. normal estimation -- central-difference ``getN`` and the color-weighted
+   8-neighbor variant (data_loader.py:532-583),
+3. per-pixel radius / center-weighted confidence (data_loader.py:461-479),
+4. semantic attributes: per-class boundary distance ``dist2edge``
+   (data_loader.py:498-518; here via a chamfer distance transform since the
+   attribute is carried-but-unconsumed in the live reference paths).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from super_tpu.config import SuPerConfig
+from super_tpu.core.state import FrameData
+from super_tpu.geometry.camera import Intrinsics, backproject_depth
+from super_tpu.ops.morphology import dilate, erode, find_edge_region
+
+DIVTERM = 1.0 / (2.0 * 0.6 * 0.6)  # data_loader.py:128
+
+
+def disp_to_depth(disp, min_depth: float, max_depth: float):
+    """Monodepth2 sigmoid-disparity -> depth (depth/monodepth2/layers.py:16-25)."""
+    min_disp = 1.0 / max_depth
+    max_disp = 1.0 / min_depth
+    scaled_disp = min_disp + (max_disp - min_disp) * disp
+    return scaled_disp, 1.0 / scaled_disp
+
+
+def normals_naive(points):
+    """Central-difference normals of an (H, W, 3) vertex map.
+
+    N = normalize((right - left) x (up - down)); NaN where any neighbor is
+    missing.  Parity: data_loader.py:532-544 (``getN`` without colors).
+    Returns (norms (H, W, 3), valid (H, W)).
+    """
+    p = jnp.pad(points, ((1, 1), (1, 1), (0, 0)), constant_values=jnp.nan)
+    h_l = p[1:-1, :-2]
+    h_r = p[1:-1, 2:]
+    h_d = p[:-2, 1:-1]
+    h_u = p[2:, 1:-1]
+    n = jnp.cross(h_r - h_l, h_d - h_u)
+    n = n / jnp.linalg.norm(n, axis=-1, keepdims=True)
+    valid = ~jnp.any(jnp.isnan(n), axis=-1)
+    return jnp.where(valid[..., None], n, 0.0), valid
+
+
+def normals_8neighbors(points, colors):
+    """Color-weighted 8-neighbor normals (data_loader.py:546-583).
+
+    Each neighbor displacement is scaled by exp(-mean|dcolor|); the normal is
+    the sum of cross products of consecutive scaled displacements.
+    """
+    cp = jnp.pad(colors, ((1, 1), (1, 1), (0, 0)), constant_values=jnp.nan)
+    pp = jnp.pad(points, ((1, 1), (1, 1), (0, 0)), constant_values=jnp.nan)
+
+    def shift(arr, dy, dx):
+        return arr[1 + dy:arr.shape[0] - 1 + dy, 1 + dx:arr.shape[1] - 1 + dx]
+
+    cen_c = shift(cp, 0, 0)
+    cen_p = shift(pp, 0, 0)
+    # Neighbor order mirrors the reference: L, LU, U, RU, R, RD, D, DL.
+    offsets = [(0, -1), (-1, -1), (-1, 0), (-1, 1), (0, 1), (1, 1), (1, 0), (1, -1)]
+    disps = []
+    for dy, dx in offsets:
+        w = jnp.exp(-jnp.mean(jnp.abs(shift(cp, dy, dx) - cen_c), axis=-1, keepdims=True))
+        disps.append((shift(pp, dy, dx) - cen_p) * w)
+    # N = sum_i cross(d_i, sum_{j>i} d_j) over the 7 leading neighbors.
+    suffix = disps[-1]
+    acc = jnp.zeros_like(cen_p)
+    for i in range(len(disps) - 2, -1, -1):
+        acc = acc + jnp.cross(disps[i], suffix)
+        suffix = suffix + disps[i]
+    n = acc / jnp.linalg.norm(acc, axis=-1, keepdims=True)
+    valid = ~jnp.any(jnp.isnan(n), axis=-1)
+    return jnp.where(valid[..., None], n, 0.0), valid
+
+
+def chamfer_distance_transform(mask, step_x: float, step_y: float,
+                               iterations: int = 48):
+    """Approximate distance (in the anisotropic normalized metric) from every
+    pixel to the nearest True pixel of ``mask``, via min-plus 3x3 chamfer
+    iterations.  Distances converge within ``iterations`` pixels of travel.
+    """
+    big = jnp.float32(1e8)
+    d = jnp.where(mask, 0.0, big)
+    diag = math.sqrt(step_x * step_x + step_y * step_y)
+    kernel = jnp.array(
+        [[diag, step_y, diag], [step_x, 0.0, step_x], [diag, step_y, diag]],
+        dtype=jnp.float32,
+    )
+
+    def body(dd, _):
+        p = jnp.pad(dd, 1, constant_values=big)
+        cands = [
+            p[1 + dy:p.shape[0] - 1 + dy, 1 + dx:p.shape[1] - 1 + dx]
+            + kernel[dy + 1, dx + 1]
+            for dy in (-1, 0, 1)
+            for dx in (-1, 0, 1)
+        ]
+        return jnp.minimum(dd, functools.reduce(jnp.minimum, cands)), None
+
+    d, _ = jax.lax.scan(body, d, None, length=iterations)
+    return d
+
+
+def compute_invalid_mask(cfg: SuPerConfig, depth, seg=None, valid_mask=None):
+    """Dataset-specific invalid-region rules (data_loader.py:374-433).
+
+    Args:
+      depth: (H, W); seg: (H, W) int or None; valid_mask: (H, W) bool or None
+        (the superv1 tissue mask, True = keep).
+    Returns (H, W) bool invalid mask.
+    """
+    h, w = depth.shape
+    if cfg.data == "superv1":
+        inval = jnp.zeros((h, w), dtype=bool)
+        if valid_mask is not None:
+            inval = ~valid_mask
+        if seg is not None:
+            for cid in cfg.del_seg_classes:
+                inval = inval | (seg == cid)
+        k = cfg.dilate_invalid_kernel
+        if cfg.depth_model == "raft_stereo":
+            if k > 0:
+                inval = dilate(inval, k)
+            inval = inval.at[:, : int(0.05 * w)].set(True)
+        elif k > 0:
+            inval = erode(inval, k)
+            inval = dilate(inval, 2 * k)
+        depth_th = 1.5
+        inval = inval | ~(depth > 0) | (depth > depth_th) | jnp.isnan(depth)
+    else:  # superv2
+        inval = jnp.zeros((h, w), dtype=bool)
+        if cfg.load_depth:
+            inval = inval | (depth == 0) | jnp.isnan(depth)
+            inval = inval.at[:, : int(0.1 * w)].set(True)
+        else:
+            inval = inval.at[:, : int(cfg.depth_width_range[0] * w)].set(True)
+            inval = inval.at[:, int(cfg.depth_width_range[1] * w):].set(True)
+            inval = inval | jnp.isnan(depth)
+        if seg is not None:
+            for cid in cfg.del_seg_classes:
+                inval = inval | (seg == cid)
+    return inval
+
+
+def preprocess_frame(
+    cfg: SuPerConfig,
+    intr: Intrinsics,
+    depth,                      # (H, W) float depth (NaN/0 = missing)
+    color,                      # (H, W, 3) float RGB in [0, 1]
+    time,                       # scalar frame time
+    seg=None,                   # (H, W) int labels, optional
+    seg_conf=None,              # (C, H, W) raw class scores, optional
+    valid_mask=None,            # (H, W) bool keep-mask, optional
+    disp_conf=None,             # (H, W) SSIM confidence, optional
+) -> FrameData:
+    """Full depth -> surfel-candidate transform, dense and jittable."""
+    h, w = cfg.height, cfg.width
+
+    inval = compute_invalid_mask(cfg, depth, seg=seg, valid_mask=valid_mask)
+    depth = jnp.where(inval, jnp.nan, depth)
+
+    points = backproject_depth(depth, intr)  # (H, W, 3), NaN propagates
+    if cfg.normal_model == "naive":
+        norms, nvalid = normals_naive(points)
+    else:
+        norms, nvalid = normals_8neighbors(points, color)
+    valid = nvalid & ~jnp.any(jnp.isnan(points), axis=-1)
+
+    # Radius r = |Z| / (sqrt(2) fx clamp(|n_z|, 0.26, 1))  (data_loader.py:467-469;
+    # the reference's sign flip on Z for superv1 is dropped -- the sign is
+    # consistent and unused downstream).
+    nz = jnp.clip(jnp.abs(norms[..., 2]), 0.26, 1.0)
+    radii = jnp.abs(depth) / (jnp.sqrt(2.0) * intr.fx * nz)
+
+    # Center-weighted confidence (data_loader.py:471-475).
+    uu, vv = jnp.meshgrid(jnp.arange(w, dtype=jnp.float32),
+                          jnp.arange(h, dtype=jnp.float32), indexing="xy")
+    dc2 = (2.0 * uu / w - 1.0) ** 2 + (2.0 * vv / h - 1.0) ** 2
+    confs = jnp.exp(-dc2 * DIVTERM)
+    if disp_conf is not None and not cfg.disable_ssim_conf:
+        confs = 0.5 * confs + 0.5 * jax.nn.sigmoid(disp_conf)
+
+    c = cfg.num_classes
+    if seg is None:
+        seg_flat = jnp.zeros((h * w,), dtype=jnp.int32)
+        seg_conf_flat = jnp.zeros((h * w, c), dtype=jnp.float32)
+        dist2edge = jnp.zeros((h * w,), dtype=jnp.float32)
+    else:
+        seg_flat = seg.reshape(-1).astype(jnp.int32)
+        sc = jax.nn.softmax(seg_conf, axis=0) if seg_conf is not None else \
+            jax.nn.one_hot(seg, c).transpose(2, 0, 1)
+        seg_conf_flat = sc.transpose(1, 2, 0).reshape(-1, c)
+        # dist2edge: normalized-coordinate distance to own-class boundary
+        # (data_loader.py:498-518), via chamfer DT per class.
+        d2e = jnp.zeros((h, w), dtype=jnp.float32)
+        for cid in range(c):
+            edge = find_edge_region(seg, c, class_list=[cid], kernel=3)
+            dt = chamfer_distance_transform(edge, 1.0 / w, 1.0 / h)
+            d2e = jnp.where(seg == cid, dt, d2e)
+        dist2edge = d2e.reshape(-1)
+
+    zero3 = jnp.zeros((h * w, 3), dtype=jnp.float32)
+    vflat = valid.reshape(-1)
+    return FrameData(
+        points=jnp.where(vflat[:, None], points.reshape(-1, 3), zero3),
+        norms=jnp.where(vflat[:, None], norms.reshape(-1, 3), zero3),
+        colors=color.reshape(-1, 3),
+        radii=jnp.where(vflat, radii.reshape(-1), 0.0),
+        confs=confs.reshape(-1),
+        valid=vflat,
+        seg=seg_flat,
+        seg_conf=seg_conf_flat,
+        dist2edge=dist2edge,
+        time=jnp.asarray(time, dtype=jnp.float32),
+        color_image=color,
+    )

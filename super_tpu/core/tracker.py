@@ -1,0 +1,143 @@
+"""SuPer tracking pipeline: init + per-frame step.
+
+Orchestrates the per-frame flow of the reference ``SuPer.forward``
+(super/super.py:23-83): preprocessing happens upstream (FrameData in),
+then frame 0 builds the ED graph + surfel map, and frame t solves the
+warp field, applies it, fuses the new observations, prunes, and updates
+tracked points.
+
+Everything here is a pure function of (config-static, state, frame); the
+whole ``step`` jits once and is ``vmap``-able over a stream axis.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from super_tpu.config import SuPerConfig
+from super_tpu.core import fusion as fusion_mod
+from super_tpu.core.anchoring import anchor_points, update_graph_knn
+from super_tpu.core.graph import build_graph
+from super_tpu.core.lm import LMResult, lm_solve
+from super_tpu.core.losses import prepare_lm
+from super_tpu.core.state import (
+    FrameData,
+    GraphState,
+    SurfelState,
+    TrackState,
+    TrackerState,
+    empty_surfels,
+    empty_track,
+)
+from super_tpu.core.warp import apply_deformation
+from super_tpu.geometry.camera import Intrinsics, project_points
+
+
+def init_surfels_from_frame(cfg: SuPerConfig, graph: GraphState,
+                            frame: FrameData) -> SurfelState:
+    """Frame-0 surfel map: every valid candidate becomes a surfel in its
+    pixel-indexed slot (Surfels.__init__, super/nodes.py:93-152).
+
+    Requires surfel_capacity >= H*W; the candidate id doubles as the slot id
+    so frame-0 ``index_map`` lookups are identities.
+    """
+    n = cfg.capacity.surfel_capacity
+    p = frame.points.shape[0]
+    if n < p:
+        raise ValueError(f"surfel_capacity {n} < pixel count {p}")
+
+    def pad(x):
+        cfgpad = [(0, n - p)] + [(0, 0)] * (x.ndim - 1)
+        return jnp.pad(x, cfgpad)
+
+    knn_idx, knn_w, stable = anchor_points(
+        cfg, graph, frame.points, frame.valid,
+        seg=frame.seg, seg_conf=frame.seg_conf)
+
+    h, w = cfg.height, cfg.width
+    uu, vv = jnp.meshgrid(jnp.arange(w, dtype=jnp.float32),
+                          jnp.arange(h, dtype=jnp.float32), indexing="xy")
+    proj_uv = jnp.stack([uu.reshape(-1), vv.reshape(-1)], axis=1)
+
+    return SurfelState(
+        points=pad(frame.points),
+        norms=pad(frame.norms),
+        colors=pad(frame.colors),
+        radii=pad(frame.radii),
+        confs=pad(jnp.where(frame.valid, frame.confs, 0.0)),
+        time_stamp=pad(jnp.full((p,), frame.time, dtype=jnp.float32)),
+        active=pad(stable),
+        knn_idx=pad(knn_idx),
+        knn_w=pad(knn_w),
+        proj_uv=pad(proj_uv),
+        seg=pad(frame.seg),
+        seg_conf=pad(frame.seg_conf),
+        dist2edge=pad(frame.dist2edge),
+    )
+
+
+def init_tracker(cfg: SuPerConfig, frame: FrameData) -> TrackerState:
+    """Frame-0 initialization: ED graph from the valid grid, surfels from
+    candidates, node KNN weights (super/super.py:47-52,60-63)."""
+    graph = build_graph(cfg, frame)
+    graph = update_graph_knn(cfg, graph)
+    surfels = init_surfels_from_frame(cfg, graph, frame)
+    return TrackerState(
+        surfels=surfels,
+        graph=graph,
+        track=empty_track(cfg),
+        time=frame.time,
+    )
+
+
+class StepOutputs(NamedTuple):
+    """Per-frame diagnostics surfaced to the host."""
+
+    lm_cost: jnp.ndarray
+    lm_damping: jnp.ndarray
+    num_surfels: jnp.ndarray
+    num_nodes: jnp.ndarray
+
+
+def track_step(cfg: SuPerConfig, intr: Intrinsics, state: TrackerState,
+               frame: FrameData) -> Tuple[TrackerState, StepOutputs]:
+    """One frame of tracking: solve warp -> apply -> fuse -> prune.
+
+    Parity: SuPer.fusion + Surfels.fuseInputData + prune
+    (super/super.py:66-83, nodes.py:270-627), LM path.
+    """
+    ctx = prepare_lm(cfg, state.surfels, state.graph, frame)
+    result: LMResult = lm_solve(cfg, ctx, intr)
+    surfels, graph = apply_deformation(cfg, state.surfels, state.graph,
+                                       result.beta)
+    surfels, remap = fusion_mod.fuse_frame(cfg, intr, surfels, graph, frame)
+    # Tracked surfels merged into another slot follow the merge
+    # (nodes.py:443-447).
+    track = state.track
+    tid = jnp.clip(track.track_id, 0, surfels.capacity - 1)
+    track = track._replace(track_id=jnp.where(
+        track.track_id >= 0, remap[tid], track.track_id))
+    surfels, track = fusion_mod.prune_surfels(cfg, surfels, track, frame.time)
+
+    # Refresh screen-space projections of all surfels (nodes.py:540-541).
+    v, u, _, _ = project_points(surfels.points, intr, cfg.height, cfg.width)
+    surfels = surfels._replace(proj_uv=jnp.stack([u, v], axis=1))
+
+    new_state = TrackerState(surfels=surfels, graph=graph, track=track,
+                             time=frame.time)
+    outs = StepOutputs(
+        lm_cost=result.cost,
+        lm_damping=result.final_damping,
+        num_surfels=surfels.num_active,
+        num_nodes=graph.num_active,
+    )
+    return new_state, outs
+
+
+def make_jit_step(cfg: SuPerConfig):
+    """jit-compiled step closure (config static)."""
+    return jax.jit(functools.partial(track_step, cfg))

@@ -1,0 +1,100 @@
+"""SuPer / Semantic-SuPer trial data loading (host-side numpy).
+
+Mirrors SuPerDataset (utils/data_loader.py:174-271): per-frame left RGB,
+precomputed disparity (.npy/.png -> disp_to_depth), optional precomputed
+segmentation (.npy confidences or .png labels), and the tracking-GT bundle
+(utils/utils.py:360-392: dict with 'gt' / 'super_cpp' / 'SURF' trajectories,
+keys '000010', ...).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import NamedTuple, Optional
+
+import numpy as np
+
+from super_tpu.config import SuPerConfig
+from super_tpu.core.preprocess import disp_to_depth
+from super_tpu.geometry.camera import Intrinsics
+
+
+class LoadedSequence(NamedTuple):
+    depths: np.ndarray
+    colors: np.ndarray
+    gt_xy: Optional[np.ndarray]
+    gt_valid: Optional[np.ndarray]
+    segs: Optional[np.ndarray]
+    seg_confs: Optional[np.ndarray]
+    frame_ids: np.ndarray
+
+
+def load_gt(data_dir: str, gt_file: str):
+    """Load the tracking GT bundle; returns ({frame_id: (P,3)}, full dict)."""
+    path = os.path.join(os.path.expanduser(data_dir), gt_file)
+    bundle = np.array(np.load(path, allow_pickle=True)).tolist()
+    gt = {int(k): np.asarray(v) for k, v in bundle["gt"].items()}
+    return gt, bundle
+
+
+def _load_image(path):
+    from PIL import Image
+
+    return np.asarray(Image.open(path).convert("RGB"), dtype=np.float32) / 255.0
+
+
+def _load_disp(path, ext):
+    if ext == ".png":
+        from PIL import Image
+
+        return np.asarray(Image.open(path), dtype=np.float32)
+    return np.load(path).astype(np.float32)
+
+
+def load_sequence(cfg: SuPerConfig, args) -> tuple:
+    """Load frames [start_id, end_id) of a SuPer-layout directory."""
+    data_dir = os.path.expanduser(args.data_dir)
+    depths, colors, segs, seg_confs, ids = [], [], [], [], []
+    for fid in range(args.start_id, args.end_id):
+        name = f"{fid:06d}"
+        rgb_path = os.path.join(data_dir, args.rgb_dir, f"{name}-left{args.img_ext}")
+        dep_path = os.path.join(data_dir, args.depth_dir, f"{name}{args.depth_ext}")
+        if not (os.path.exists(rgb_path) and os.path.exists(dep_path)):
+            continue
+        colors.append(_load_image(rgb_path))
+        disp = _load_disp(dep_path, args.depth_ext)
+        _, depth = disp_to_depth(disp, cfg.min_depth, cfg.max_depth)
+        depths.append(np.asarray(depth).squeeze())
+        ids.append(fid)
+        if cfg.load_seg:
+            seg_path = os.path.join(data_dir, args.seg_dir,
+                                    f"{name}-left.npy")
+            if os.path.exists(seg_path):
+                conf = np.load(seg_path).astype(np.float32)  # (C, H, W)
+                seg_confs.append(conf)
+                segs.append(conf.argmax(0).astype(np.int32))
+
+    if not depths:
+        raise FileNotFoundError(f"no frames found under {data_dir}")
+
+    gt_xy = gt_valid = None
+    if args.tracking_gt_file:
+        gt, _ = load_gt(data_dir, args.tracking_gt_file)
+        num_track = next(iter(gt.values())).shape[0]
+        gt_xy = np.zeros((len(ids), num_track, 2), dtype=np.float32)
+        gt_valid = np.zeros((len(ids), num_track), dtype=bool)
+        for i, fid in enumerate(ids):
+            if fid in gt:
+                gt_xy[i] = gt[fid][:, 0:2]
+                gt_valid[i] = gt[fid][:, 2] == 1
+
+    intr = Intrinsics.superv1() if cfg.data == "superv1" else Intrinsics.superv2()
+    return intr, LoadedSequence(
+        depths=np.stack(depths),
+        colors=np.stack(colors),
+        gt_xy=gt_xy,
+        gt_valid=gt_valid,
+        segs=np.stack(segs) if segs else None,
+        seg_confs=np.stack(seg_confs) if seg_confs else None,
+        frame_ids=np.asarray(ids),
+    )

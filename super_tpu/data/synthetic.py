@@ -1,0 +1,130 @@
+"""Synthetic deforming-surface sequences with exact tracking ground truth.
+
+The reference is evaluated on endoscopic stereo trials with a 20-point GT
+file (README.md:179-199); those datasets are not redistributable, so tests
+and benches here use a procedurally deformed surface:
+
+  rest surface:   z = f(x, y)       (time-independent height field, ~0.5 m)
+  deformation:    D_t(p) = p + [dx, dy, dz](p, t), smooth in material
+                  coordinates, D_0 = identity.
+
+The depth map at time t is the rendering of { D_t(p) : p on the rest
+surface }, obtained by per-pixel fixed-point inversion of the (small,
+smooth) deformation -- so depth sequences and GT trajectories are
+*consistent by construction* and the tracker's reprojection error against
+the GT is a real accuracy metric.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+
+from super_tpu.geometry.camera import Intrinsics
+
+
+class SyntheticSequence(NamedTuple):
+    depths: np.ndarray       # (T, H, W) float32
+    colors: np.ndarray       # (T, H, W, 3) float32
+    gt_xy: np.ndarray        # (T, P, 2) float32 GT screen coords of tracked pts
+    gt_valid: np.ndarray     # (T, P) bool
+    track0_xy: np.ndarray    # (P, 2) int tracked pixels at frame 0
+
+
+_A = 0.0015   # lateral drift per frame (m)
+_W = 0.0010   # non-rigid warp amplitude (m)
+
+
+def _rest_z(x, y, base=0.55, amp=0.02):
+    """Time-independent height field."""
+    return base + amp * np.sin(6.0 * x) * np.cos(5.0 * y) \
+        + 0.5 * amp * np.sin(9.0 * y)
+
+
+def _disp(x0, y0, t):
+    """Material displacement field [dx, dy, dz](material coords, t);
+    zero at t = 0."""
+    dx = _A * t + _W * np.sin(8.0 * y0 + 3.0 * x0) * np.sin(0.5 * t)
+    dy = 0.5 * _A * t + _W * np.cos(7.0 * x0) * np.sin(0.4 * t)
+    dz = 0.3 * _A * t * np.sin(4.0 * x0) + _W * np.sin(5.0 * y0) * np.sin(0.35 * t)
+    return dx, dy, dz
+
+
+def _deform(points, t):
+    x, y, z = points[..., 0], points[..., 1], points[..., 2]
+    dx, dy, dz = _disp(x, y, t)
+    return np.stack([x + dx, y + dy, z + dz], axis=-1)
+
+
+def generate(num_frames: int, height: int, width: int,
+             intr: Intrinsics = None, num_track: int = 20,
+             seed: int = 0) -> SyntheticSequence:
+    if intr is None:
+        fx = fy = 500.0
+        cx, cy = width / 2 - 0.37, height / 2 + 0.21  # off-integer principal pt
+    else:
+        fx, fy = float(intr.fx), float(intr.fy)
+        cx, cy = float(intr.cx), float(intr.cy)
+    rng = np.random.default_rng(seed)
+
+    uu, vv = np.meshgrid(np.arange(width, dtype=np.float64),
+                         np.arange(height, dtype=np.float64))
+
+    def material_coords_and_depth(t):
+        """Fixed-point solve: pixel ray -> material point on rest surface."""
+        z = np.full((height, width), 0.55)
+        x0 = (uu - cx) * z / fx
+        y0 = (vv - cy) * z / fy
+        for _ in range(10):
+            x_def = (uu - cx) * z / fx   # deformed-frame lateral coords
+            y_def = (vv - cy) * z / fy
+            for _ in range(3):           # invert the lateral displacement
+                dx, dy, _ = _disp(x0, y0, t)
+                x0 = x_def - dx
+                y0 = y_def - dy
+            _, _, dz = _disp(x0, y0, t)
+            z = _rest_z(x0, y0) + dz
+        return x0, y0, z
+
+    def color_from_material(x0, y0):
+        r = 0.5 + 0.5 * np.sin(40 * x0) * np.cos(37 * y0)
+        g = 0.5 + 0.5 * np.cos(23 * x0 + 31 * y0)
+        b = 0.5 + 0.3 * np.sin(17 * (x0 + y0))
+        return np.stack([r, g, b], axis=-1).astype(np.float32)
+
+    # Tracked material points: random interior pixels at t=0.
+    margin = min(40, width // 4, height // 4)
+    tx = rng.integers(margin, width - margin, size=num_track)
+    ty = rng.integers(margin, height - margin, size=num_track)
+    x0g, y0g, z0g = material_coords_and_depth(0.0)
+    px0 = np.stack([x0g[ty, tx], y0g[ty, tx],
+                    _rest_z(x0g[ty, tx], y0g[ty, tx])], axis=-1)
+
+    depths, colors, gts, gtv = [], [], [], []
+    for t in range(num_frames):
+        x0, y0, z = material_coords_and_depth(float(t))
+        depths.append(z.astype(np.float32))
+        colors.append(color_from_material(x0, y0))
+        pt = _deform(px0, float(t))
+        gu = pt[:, 0] * fx / pt[:, 2] + cx
+        gv = pt[:, 1] * fy / pt[:, 2] + cy
+        gts.append(np.stack([gu, gv], axis=-1).astype(np.float32))
+        gtv.append((gu > 1) & (gu < width - 2) & (gv > 1) & (gv < height - 2))
+
+    return SyntheticSequence(
+        depths=np.stack(depths),
+        colors=np.stack(colors),
+        gt_xy=np.stack(gts),
+        gt_valid=np.stack(gtv),
+        track0_xy=np.stack([tx, ty], axis=-1).astype(np.int32),
+    )
+
+
+def default_intrinsics(height: int, width: int) -> Intrinsics:
+    import jax.numpy as jnp
+
+    f32 = jnp.float32
+    return Intrinsics(fx=jnp.asarray(500.0, f32), fy=jnp.asarray(500.0, f32),
+                      cx=jnp.asarray(width / 2 - 0.37, f32),
+                      cy=jnp.asarray(height / 2 + 0.21, f32))

@@ -27,10 +27,11 @@ class Intrinsics(NamedTuple):
     cy: jnp.ndarray
 
     @classmethod
-    def from_matrix(cls, k):
+    def from_matrix(cls, k, dtype=jnp.float32):
         """Build from a (4,4) or (3,3) K matrix (reference K layout,
-        utils/data_loader.py:202-211)."""
-        k = jnp.asarray(k)
+        utils/data_loader.py:202-211).  Forces f32 by default so enabling
+        x64 in a host process doesn't promote the whole compute path."""
+        k = jnp.asarray(k, dtype=dtype)
         return cls(fx=k[0, 0], fy=k[1, 1], cx=k[0, 2], cy=k[1, 2])
 
     @classmethod

@@ -1,0 +1,103 @@
+"""Multi-chip SPMD step: streams data-parallel, LM residuals surfel-sharded.
+
+The batched tracking step runs under ``shard_map`` over a
+``('stream', 'shard')`` mesh:
+
+- the stream-batch dimension of states/frames is partitioned over 'stream'
+  (independent trackers, zero cross-traffic);
+- within each stream, the point-plane residual/Jacobian work (the N-surfel
+  hot loop) is partitioned over 'shard': each chip assembles the normal
+  equations of its surfel slice and the (JTJ, JTr) blocks are ``psum``-ed
+  over ICI every LM iteration -- the TPU equivalent of the solver data flow
+  in reference super/LM.py:61-65.  Fusion (cheap, scatter-bound) runs
+  replicated across the shard group.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from super_tpu.config import SuPerConfig
+from super_tpu.core import fusion as fusion_mod
+from super_tpu.core.lm import lm_solve
+from super_tpu.core.losses import LMContext, prepare_lm
+from super_tpu.core.state import FrameData, TrackerState
+from super_tpu.core.tracker import StepOutputs
+from super_tpu.core.warp import apply_deformation
+from super_tpu.geometry.camera import Intrinsics, project_points
+
+_SURFEL_FIELDS = ("sf_mask", "sf_knn_idx", "sf_knn_w", "sf_knn", "sf_diff",
+                  "sf_skew")
+
+
+def shard_ctx(ctx: LMContext, axis_name: str, num_shards: int) -> LMContext:
+    """Slice the surfel-dimension fields of the LM context to this shard."""
+    idx = jax.lax.axis_index(axis_name)
+    repl = {}
+    for name in _SURFEL_FIELDS:
+        arr = getattr(ctx, name)
+        local = arr.shape[0] // num_shards
+        repl[name] = jax.lax.dynamic_slice_in_dim(arr, idx * local, local, 0)
+    return ctx._replace(**repl)
+
+
+def track_step_sharded(cfg: SuPerConfig, intr: Intrinsics, num_shards: int,
+                       state: TrackerState, frame: FrameData
+                       ) -> Tuple[TrackerState, StepOutputs]:
+    """track_step with the LM solve sharded over the 'shard' mesh axis."""
+    ctx = prepare_lm(cfg, state.surfels, state.graph, frame)
+    if num_shards > 1:
+        ctx = shard_ctx(ctx, "shard", num_shards)
+        result = lm_solve(cfg, ctx, intr, axis_name="shard")
+    else:
+        result = lm_solve(cfg, ctx, intr)
+    surfels, graph = apply_deformation(cfg, state.surfels, state.graph,
+                                       result.beta)
+    surfels, remap = fusion_mod.fuse_frame(cfg, intr, surfels, graph, frame)
+    track = state.track
+    tid = jnp.clip(track.track_id, 0, surfels.capacity - 1)
+    track = track._replace(track_id=jnp.where(
+        track.track_id >= 0, remap[tid], track.track_id))
+    surfels, track = fusion_mod.prune_surfels(cfg, surfels, track, frame.time)
+    v, u, _, _ = project_points(surfels.points, intr, cfg.height, cfg.width)
+    surfels = surfels._replace(proj_uv=jnp.stack([u, v], axis=1))
+    new_state = TrackerState(surfels=surfels, graph=graph, track=track,
+                             time=frame.time)
+    outs = StepOutputs(lm_cost=result.cost, lm_damping=result.final_damping,
+                       num_surfels=surfels.num_active,
+                       num_nodes=graph.num_active)
+    return new_state, outs
+
+
+def make_multichip_step(cfg: SuPerConfig, intr: Intrinsics, mesh):
+    """Batched multi-stream step over the ('stream', 'shard') mesh.
+
+    Inputs/outputs carry a leading stream-batch dimension partitioned over
+    'stream'; surfel arrays are replicated across 'shard' with the residual
+    work split by axis index inside.
+    """
+    num_shards = mesh.shape["shard"]
+
+    def local(states, frames):
+        step = functools.partial(track_step_sharded, cfg, intr, num_shards)
+        return jax.vmap(step)(states, frames)
+
+    mapped = shard_map(
+        local, mesh=mesh,
+        in_specs=(P("stream"), P("stream")),
+        out_specs=(P("stream"), P("stream")),
+        check_rep=False,
+    )
+    return jax.jit(mapped)
+
+
+def make_batched_step(cfg: SuPerConfig, intr: Intrinsics):
+    """Single-chip multi-stream step (plain vmap)."""
+    step = functools.partial(track_step_sharded, cfg, intr, 1)
+    return jax.jit(jax.vmap(step))

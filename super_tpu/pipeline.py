@@ -1,0 +1,107 @@
+"""Host-side frame loop: the equivalent of run_super.py's main loop
+(reference run_super.py:13-24) around the jitted per-frame step.
+
+The sequence has a serial dependency (frame t feeds t+1), so the loop lives
+on the host; everything per-frame is one compiled XLA program.  Multi-stream
+batching lives in super_tpu.parallel.
+"""
+
+from __future__ import annotations
+
+import functools
+import time as _time
+from typing import Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from super_tpu.config import SuPerConfig
+from super_tpu.core.preprocess import preprocess_frame
+from super_tpu.core.state import TrackerState
+from super_tpu.core.track_points import assign_track_points, record_track_coords
+from super_tpu.core.tracker import init_tracker, track_step
+from super_tpu.geometry.camera import Intrinsics
+from super_tpu.utils import evaluation
+
+
+class SuPerPipeline:
+    """Single-stream tracking pipeline."""
+
+    def __init__(self, cfg: SuPerConfig, intr: Intrinsics):
+        self.cfg = cfg
+        self.intr = intr
+        self._preprocess = jax.jit(
+            functools.partial(preprocess_frame, cfg, intr))
+        self._init = jax.jit(functools.partial(init_tracker, cfg))
+        self._step = jax.jit(functools.partial(track_step, cfg, intr))
+        self._assign = jax.jit(functools.partial(assign_track_points, cfg))
+        self._record = jax.jit(record_track_coords)
+        self.state: Optional[TrackerState] = None
+        self.track_results: Dict[int, np.ndarray] = {}
+        self.errors: Dict[int, np.ndarray] = {}
+        self.frame_times = []
+
+    def run(self, depths, colors, gt_xy=None, gt_valid=None,
+            segs=None, seg_confs=None, verbose: bool = False):
+        """Track a whole sequence.
+
+        Args:
+          depths: (T, H, W); colors: (T, H, W, 3) numpy arrays.
+          gt_xy: optional (T, P, 2) GT screen coords; gt_valid: (T, P) bool.
+        Returns: summary metrics dict.
+        """
+        num_frames = len(depths)
+        for t in range(num_frames):
+            tic = _time.perf_counter()
+            kw = {}
+            if segs is not None:
+                kw["seg"] = jnp.asarray(segs[t])
+            if seg_confs is not None:
+                kw["seg_conf"] = jnp.asarray(seg_confs[t])
+            frame = self._preprocess(jnp.asarray(depths[t]),
+                                     jnp.asarray(colors[t]),
+                                     jnp.float32(t), **kw)
+            if self.state is None:
+                self.state = self._init(frame)
+            else:
+                self.state, outs = self._step(self.state, frame)
+
+            if gt_xy is not None:
+                self._eval_frame(t, frame, gt_xy[t], gt_valid[t])
+            jax.block_until_ready(self.state.surfels.points)
+            self.frame_times.append(_time.perf_counter() - tic)
+            if verbose and t % 10 == 0:
+                n = int(self.state.surfels.num_active)
+                print(f"frame {t}: {n} surfels, "
+                      f"{self.frame_times[-1]*1e3:.1f} ms")
+        return self.summary()
+
+    def _eval_frame(self, t, frame, gt_xy_t, gt_valid_t):
+        track = self._assign(self.state.surfels, frame, self.state.track,
+                             jnp.asarray(gt_xy_t), jnp.asarray(gt_valid_t))
+        track = self._record(self.state.surfels, track)
+        self.state = self.state._replace(track=track)
+        est = np.concatenate(
+            [np.asarray(track.coords),
+             np.asarray(track.coord_valid, dtype=np.float32)[:, None]], axis=1)
+        gt = np.concatenate(
+            [np.asarray(gt_xy_t),
+             np.asarray(gt_valid_t, dtype=np.float32)[:, None]], axis=1)
+        self.track_results[t] = est
+        # Errors only count points that are both GT-visible and tracked.
+        err = evaluation.reprojection_errors(gt, est)
+        err[~np.asarray(track.coord_valid)] = -1.0
+        self.errors[t] = err
+
+    def summary(self) -> Dict[str, float]:
+        out = evaluation.summarize(self.errors, edge_ids=self.cfg.edge_ids)
+        if self.frame_times:
+            steady = self.frame_times[2:] or self.frame_times
+            out["mean_frame_ms"] = float(np.mean(steady) * 1e3)
+            out["p50_frame_ms"] = float(np.percentile(steady, 50) * 1e3)
+            out["fps"] = 1e3 / out["p50_frame_ms"]
+        if self.state is not None:
+            out["num_surfels"] = float(self.state.surfels.num_active)
+            out["num_nodes"] = float(self.state.graph.num_active)
+        return out

@@ -1,0 +1,54 @@
+"""Tracking-accuracy evaluation (host-side numpy).
+
+Parity: the module-level ``evaluate`` (super/nodes.py:17-34) + the scalar
+summaries of ``log_trackpts_err`` (utils/utils.py:499-511): per-point L2
+pixel error, -1 where GT invisible; report mean/std over all and over a
+designated edge-point subset.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+
+def reprojection_errors(gt_xyv: np.ndarray, est_xyv: np.ndarray,
+                        ignored_ids: Sequence[int] = ()) -> np.ndarray:
+    """Per-point pixel error; -1 where GT invalid (nodes.py:17-34)."""
+    valid = gt_xyv[:, 2] == 1
+    if len(ignored_ids) > 0:
+        valid = valid.copy()
+        valid[np.asarray(ignored_ids) - 1] = False
+    d = np.linalg.norm(gt_xyv[:, 0:2] - est_xyv[:, 0:2], axis=1)
+    d[~valid] = -1.0
+    return d
+
+
+def summarize(err_frames: Dict[int, np.ndarray],
+              edge_ids: Sequence[int] = ()) -> Dict[str, float]:
+    """Mean/std of reprojection error over frames x points.
+
+    Invalid entries (-1) are excluded from the statistics (the reference's
+    raw np.mean over the array including -1 is also reported as *_raw for
+    comparability with its TensorBoard scalars)."""
+    if not err_frames:
+        return {}
+    arr = np.stack([err_frames[k] for k in sorted(err_frames)], axis=0)
+    valid = arr >= 0
+    out = {
+        "reproj_mean": float(arr[valid].mean()) if valid.any() else float("nan"),
+        "reproj_std": float(arr[valid].std()) if valid.any() else float("nan"),
+        "reproj_mean_raw": float(arr.mean()),
+        "reproj_std_raw": float(arr.std()),
+        "num_eval_frames": float(arr.shape[0]),
+        "frac_valid": float(valid.mean()),
+    }
+    if len(edge_ids) > 0:
+        sel = np.zeros(arr.shape[1], dtype=bool)
+        sel[np.asarray(edge_ids) - 1] = True
+        sub = arr[:, sel]
+        subv = sub >= 0
+        out["reproj_edge_mean"] = float(sub[subv].mean()) if subv.any() else float("nan")
+        out["reproj_edge_std"] = float(sub[subv].std()) if subv.any() else float("nan")
+    return out

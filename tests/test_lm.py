@@ -1,0 +1,147 @@
+"""LM solver stack: analytic JTJ vs autodiff, cost descent, graph builder."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from helpers import tiny_config, tiny_scene
+
+from super_tpu.core.anchoring import update_graph_knn
+from super_tpu.core.graph import build_graph, grid_layout
+from super_tpu.core.lm import lm_solve
+from super_tpu.core.losses import (
+    arap_term_residual,
+    assemble_normal_equations,
+    data_term_residual,
+    prepare_lm,
+    rot_term_residual,
+    total_cost,
+)
+from super_tpu.core.tracker import init_tracker
+from super_tpu.geometry.quaternion import IDENTITY_DQ
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return tiny_scene(num_frames=6)
+
+
+@pytest.fixture(scope="module")
+def tracker0(scene):
+    cfg, intr, seq, frames = scene
+    return init_tracker(cfg, frames[0])
+
+
+def test_grid_layout_static():
+    anchor_pix, edges, tris = grid_layout(48, 64, 8)
+    assert anchor_pix.shape == (48,)       # 6 x 8 grid
+    # Interior cell has 4 edges; boundary cells fewer.
+    assert edges.shape[1] == 2 and tris.shape[1] == 3
+    assert edges.max() < 48 and tris.max() < 48
+    # 5x7 full cells -> 2 triangles each.
+    assert len(tris) == 2 * 5 * 7
+
+
+def test_graph_builder(scene, tracker0):
+    cfg, intr, seq, frames = scene
+    g = tracker0.graph
+    n_active = int(g.num_active)
+    assert 30 <= n_active <= 48
+    act = np.asarray(g.active)
+    radii = np.asarray(g.radii)
+    assert np.all(radii[act] > 0)
+    e = np.asarray(g.edges)
+    ea = np.asarray(g.edge_active)
+    assert np.all(act[e[ea][:, 0]]) and np.all(act[e[ea][:, 1]])
+    # knn weights of active nodes sum to 1
+    w = np.asarray(g.knn_w)[act]
+    np.testing.assert_allclose(w.sum(-1), 1.0, atol=1e-5)
+
+
+def _to64(tree):
+    return jax.tree.map(
+        lambda x: x.astype(jnp.float64)
+        if jnp.issubdtype(x.dtype, jnp.floating) else x, tree)
+
+
+def test_jtj_matches_autodiff(scene, tracker0):
+    """The hand-assembled normal equations must equal J^T J / -J^T r computed
+    by autodiff of the residual vector (both f64)."""
+    cfg, intr, seq, frames = scene
+    st = tracker0
+    ctx = _to64(prepare_lm(cfg, st.surfels, st.graph, frames[1]))
+    # Slice the surfel dimension to keep the autodiff Jacobian cheap: the
+    # assembly treats rows independently, so a subset is a full check.
+    ns = 384
+    ctx = ctx._replace(
+        sf_mask=ctx.sf_mask[:ns], sf_knn_idx=ctx.sf_knn_idx[:ns],
+        sf_knn_w=ctx.sf_knn_w[:ns], sf_knn=ctx.sf_knn[:ns],
+        sf_diff=ctx.sf_diff[:ns], sf_skew=ctx.sf_skew[:ns])
+    intr64 = _to64(intr)
+    j_cap = ctx.ed_mask.shape[0]
+
+    rng = np.random.default_rng(1)
+    beta = jnp.tile(IDENTITY_DQ.astype(jnp.float64)[None], (j_cap, 1))
+    beta = beta + 0.01 * jnp.asarray(rng.normal(size=beta.shape))
+
+    ls = cfg.losses
+
+    def rvec(b):
+        r1, _ = data_term_residual(cfg, ctx, b, intr64, ls.sf_point_plane_weight)
+        r2 = arap_term_residual(ctx, b, ls.mesh_arap_weight).reshape(-1)
+        r3 = rot_term_residual(b, ctx.ed_mask, ls.mesh_rot_weight)
+        return jnp.concatenate([r1, r2, r3])
+
+    r = rvec(beta)
+    jac = jax.jacrev(rvec)(beta).reshape(r.shape[0], j_cap * 7)
+    jtj_ad = jac.T @ jac
+    jtr_ad = -jac.T @ r
+
+    jtj, jtr = assemble_normal_equations(cfg, ctx, beta, intr64)
+    scale = float(jnp.max(jnp.abs(jtj_ad))) + 1e-12
+    np.testing.assert_allclose(np.asarray(jtj) / scale,
+                               np.asarray(jtj_ad) / scale, atol=1e-9)
+    rscale = float(jnp.max(jnp.abs(jtr_ad))) + 1e-12
+    np.testing.assert_allclose(np.asarray(jtr) / rscale,
+                               np.asarray(jtr_ad) / rscale, atol=1e-9)
+
+
+def test_f32_assembly_close_to_f64(scene, tracker0):
+    cfg, intr, seq, frames = scene
+    st = tracker0
+    ctx32 = prepare_lm(cfg, st.surfels, st.graph, frames[1])
+    ctx64 = _to64(ctx32)
+    j_cap = ctx32.ed_mask.shape[0]
+    # Generic beta: at exact identity the frame-0 surfels sit on pixel
+    # centers, where f32 vs f64 rounding flips sampling masks -- a
+    # degenerate configuration that says nothing about solver precision.
+    rng = np.random.default_rng(3)
+    beta32 = (jnp.tile(IDENTITY_DQ[None], (j_cap, 1))
+              + 0.01 * jnp.asarray(rng.normal(size=(j_cap, 7)),
+                                   dtype=jnp.float32))
+    jtj32, jtr32 = assemble_normal_equations(cfg, ctx32, beta32, intr)
+    jtj64, jtr64 = assemble_normal_equations(
+        cfg, ctx64, beta32.astype(jnp.float64), _to64(intr))
+    denom = float(jnp.linalg.norm(jtj64))
+    assert float(jnp.linalg.norm(jtj32.astype(jnp.float64) - jtj64)) / denom < 1e-4
+
+
+def test_lm_descends_and_tracks_motion(scene, tracker0):
+    """Solving frame t=3 from the t=0 model must reduce the cost and move
+    surfels toward the deformed surface."""
+    cfg, intr, seq, frames = scene
+    st = tracker0
+    ctx = prepare_lm(cfg, st.surfels, st.graph, frames[3])
+    j_cap = ctx.ed_mask.shape[0]
+    beta0 = jnp.tile(IDENTITY_DQ[None], (j_cap, 1))
+    cost0 = float(total_cost(cfg, ctx, beta0, intr))
+
+    res = jax.jit(lambda c: lm_solve(cfg, c, intr))(ctx)
+    assert np.isfinite(float(res.cost))
+    assert float(res.cost) < 0.5 * cost0, (cost0, float(res.cost))
+    # Node translations should be non-trivial (scene moves ~mm/frame).
+    b = np.asarray(res.beta)
+    act = np.asarray(ctx.ed_mask)
+    t_norm = np.linalg.norm(b[act][:, 4:7], axis=1)
+    assert t_norm.mean() > 1e-4
