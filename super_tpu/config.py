@@ -55,6 +55,17 @@ class SolverConfig:
     linear_solver: str = "cholesky"
     pcg_iterations: int = 64
     pcg_tol: float = 1e-12
+    # Surfel-chunk size for streaming the JTJ assembly (bounds peak memory
+    # of the chain-rule temporaries; no effect on results).
+    assembly_chunk: int = 32768
+    # JTJ assembly strategy: "tuple" groups surfels by anchor tuple and
+    # reduces on the MXU (fast on TPU); "scatter" is the direct scatter-add
+    # reference path (used by tests and the sharded dry run).
+    assembly_mode: str = "tuple"
+    assembly_tuple_cap: int = 8192   # max distinct anchor tuples per frame
+    assembly_pad_group: int = 16     # tuple runs padded to multiples of this
+    assembly_tuple_chunk: int = 1024  # C: einsum chunk length
+    assembly_local: int = 128        # L >= C/pad_group + 2: one-hot width
 
 
 @dataclasses.dataclass(frozen=True)

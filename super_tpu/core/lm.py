@@ -56,8 +56,17 @@ def lm_solve(cfg: SuPerConfig, ctx: LMContext, intr: Intrinsics,
         jtj, jtr = assemble_normal_equations(cfg, ctx, beta, intr,
                                              axis_name=axis_name)
         a = jtj + u * eye
-        chol = jnp.linalg.cholesky(a)
-        delta = jax.scipy.linalg.cho_solve((chol, True), jtr)
+        # Jacobi (symmetric diagonal) scaling before the factorization: the
+        # q- and b-columns differ in magnitude by ~1e3 (projection chain vs
+        # unit translations), which squares into the normal matrix; scaling
+        # recovers ~6 digits of f32 accuracy in the solve.  The solution is
+        # mathematically unchanged (reference solves the raw system in f64,
+        # super/LM.py:58-59).
+        d = jnp.sqrt(jnp.maximum(jnp.diagonal(a), 1e-20))
+        inv_d = 1.0 / d
+        a_s = a * inv_d[:, None] * inv_d[None, :]
+        chol = jnp.linalg.cholesky(a_s)
+        delta = jax.scipy.linalg.cho_solve((chol, True), jtr * inv_d) * inv_d
         ok = jnp.all(jnp.isfinite(delta))
         delta = jnp.where(ok, delta, 0.0).reshape(j_cap, 7)
         beta_new = beta + delta

@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from super_tpu.config import SuPerConfig
+from super_tpu.core import assembly
 from super_tpu.core.state import FrameData, GraphState, SurfelState
 from super_tpu.geometry.camera import Intrinsics, project_points
 from super_tpu.geometry.quaternion import (
@@ -41,7 +42,12 @@ from super_tpu.ops.bilinear import bilinear_sample_indexed
 
 class LMContext(NamedTuple):
     """Per-frame constants of the LM solve (reference: each loss's
-    ``prepare``, super/loss.py:212-220,408-426,480-485)."""
+    ``prepare``, super/loss.py:212-220,408-426,480-485).
+
+    With the "tuple" assembly mode, the surfel-dimension fields are stored
+    in the tuple-sorted, padded order described in core/assembly.py (masks
+    cover the padding), and ``layout`` carries the grouping structure.
+    """
 
     # --- data term ---
     sf_mask: jnp.ndarray       # (N,) active surfels
@@ -60,19 +66,39 @@ class LMContext(NamedTuple):
     ed_pair_mask: jnp.ndarray  # (J, K_ed) both endpoints active
     d_eds: jnp.ndarray         # (J, K_ed, 3) g_i - g_j
     ed_skew: jnp.ndarray       # (J, K_ed, 3, 3)
+    layout: Optional["assembly.TupleLayout"]  # tuple-mode grouping or None
 
 
 def prepare_lm(cfg: SuPerConfig, surfels: SurfelState, graph: GraphState,
                frame: FrameData) -> LMContext:
-    sf_knn = graph.points[surfels.knn_idx]
-    sf_diff = surfels.points[:, None, :] - sf_knn
+    sol = cfg.solver
+    sf_mask = surfels.active
+    sf_knn_idx = surfels.knn_idx
+    sf_knn_w = surfels.knn_w
+    sf_points = surfels.points
+
+    layout = None
+    if sol.assembly_mode == "tuple" and cfg.num_neighbors == 4:
+        layout = assembly.build_tuple_layout(
+            surfels.knn_idx, surfels.active, graph.capacity,
+            tuple_cap=sol.assembly_tuple_cap,
+            chunk=sol.assembly_tuple_chunk,
+            pad_group=sol.assembly_pad_group)
+        src = layout.src_of
+        sf_mask = layout.slot_valid & surfels.active[src]
+        sf_knn_idx = surfels.knn_idx[src]
+        sf_knn_w = surfels.knn_w[src]
+        sf_points = surfels.points[src]
+
+    sf_knn = graph.points[sf_knn_idx]
+    sf_diff = sf_points[:, None, :] - sf_knn
     ed_knn_idx = graph.knn_idx
     d_eds = graph.points[:, None, :] - graph.points[ed_knn_idx]
     ed_pair_mask = graph.active[:, None] & graph.active[ed_knn_idx]
     return LMContext(
-        sf_mask=surfels.active,
-        sf_knn_idx=surfels.knn_idx,
-        sf_knn_w=surfels.knn_w,
+        sf_mask=sf_mask,
+        sf_knn_idx=sf_knn_idx,
+        sf_knn_w=sf_knn_w,
         sf_knn=sf_knn,
         sf_diff=sf_diff,
         sf_skew=skew(sf_diff),
@@ -84,6 +110,7 @@ def prepare_lm(cfg: SuPerConfig, surfels: SurfelState, graph: GraphState,
         ed_pair_mask=ed_pair_mask,
         d_eds=d_eds,
         ed_skew=skew(d_eds),
+        layout=layout,
     )
 
 
@@ -280,15 +307,60 @@ def assemble_normal_equations(cfg: SuPerConfig, ctx: LMContext, beta,
         graph_scale = jax.lax.rsqrt(
             jax.lax.psum(jnp.asarray(1.0, beta.dtype), axis_name))
 
-    if losses.sf_point_plane:
-        r, g, idx, _ = data_term_jacobian(cfg, ctx, beta, intr,
-                                          losses.sf_point_plane_weight)
-        k = idx.shape[1]
-        for a in range(k):
-            jtr = jtr.at[idx[:, a]].add(-g[:, a, :] * r[:, None])
-            for b in range(k):
-                blk = g[:, a, :, None] * g[:, b, None, :]  # (N, 7, 7)
-                jtj_blocks = jtj_blocks.at[idx[:, a], idx[:, b]].add(blk)
+    if losses.sf_point_plane and ctx.layout is not None:
+        # Tuple-grouped MXU assembly (see core/assembly.py).
+        sol = cfg.solver
+        r, g, _, _ = data_term_jacobian(cfg, ctx, beta, intr,
+                                        losses.sf_point_plane_weight)
+        h = g.reshape(g.shape[0], -1)  # (Np, 28)
+        gram, jtr_t = assembly.tuple_reduce(
+            ctx.layout, h, r, chunk=sol.assembly_tuple_chunk,
+            local=sol.assembly_local)
+        jtj_blocks, jtr = assembly.expand_to_blocks(
+            ctx.layout, gram, jtr_t, jtj_blocks, jtr)
+    elif losses.sf_point_plane:
+        weight = losses.sf_point_plane_weight
+        n = ctx.sf_mask.shape[0]
+        chunk = cfg.solver.assembly_chunk
+        num_chunks = max(1, -(-n // chunk))
+        if n % num_chunks != 0:
+            num_chunks = 1  # fall back to one pass if capacity isn't divisible
+
+        def accumulate(carry, cctx):
+            jtj_b, jtr_b = carry
+            r, g, idx, _ = data_term_jacobian(cfg, cctx, beta, intr, weight)
+            k = idx.shape[1]
+            for a in range(k):
+                jtr_b = jtr_b.at[idx[:, a]].add(-g[:, a, :] * r[:, None])
+                for b_ in range(k):
+                    blk = g[:, a, :, None] * g[:, b_, None, :]  # (C, 7, 7)
+                    jtj_b = jtj_b.at[idx[:, a], idx[:, b_]].add(blk)
+            return (jtj_b, jtr_b), None
+
+        if num_chunks == 1:
+            (jtj_blocks, jtr), _ = accumulate((jtj_blocks, jtr), ctx)
+        else:
+            # Stream the surfel dimension in chunks (bounded peak memory:
+            # the (C, K, 3, 7) chain-rule temporaries exist one chunk at a
+            # time instead of for all N surfel slots).
+            def split(x):
+                return x.reshape((num_chunks, n // num_chunks) + x.shape[1:])
+
+            chunked = ctx._replace(
+                sf_mask=split(ctx.sf_mask), sf_knn_idx=split(ctx.sf_knn_idx),
+                sf_knn_w=split(ctx.sf_knn_w), sf_knn=split(ctx.sf_knn),
+                sf_diff=split(ctx.sf_diff), sf_skew=split(ctx.sf_skew))
+
+            def body(carry, sl):
+                cctx = ctx._replace(
+                    sf_mask=sl[0], sf_knn_idx=sl[1], sf_knn_w=sl[2],
+                    sf_knn=sl[3], sf_diff=sl[4], sf_skew=sl[5])
+                return accumulate(carry, cctx)
+
+            (jtj_blocks, jtr), _ = jax.lax.scan(
+                body, (jtj_blocks, jtr),
+                (chunked.sf_mask, chunked.sf_knn_idx, chunked.sf_knn_w,
+                 chunked.sf_knn, chunked.sf_diff, chunked.sf_skew))
 
     if losses.mesh_arap:
         r, g, idx, _ = arap_term_jacobian(ctx, beta, losses.mesh_arap_weight)

@@ -51,6 +51,12 @@ def track_step_sharded(cfg: SuPerConfig, intr: Intrinsics, num_shards: int,
                        state: TrackerState, frame: FrameData
                        ) -> Tuple[TrackerState, StepOutputs]:
     """track_step with the LM solve sharded over the 'shard' mesh axis."""
+    if num_shards > 1 and cfg.solver.assembly_mode == "tuple":
+        # The tuple layout is a whole-frame structure; the sharded path
+        # slices the surfel dimension, so it uses the scatter assembly.
+        import dataclasses
+        cfg = cfg.replace(solver=dataclasses.replace(
+            cfg.solver, assembly_mode="scatter"))
     ctx = prepare_lm(cfg, state.surfels, state.graph, frame)
     if num_shards > 1:
         ctx = shard_ctx(ctx, "shard", num_shards)

@@ -3,7 +3,7 @@
 import jax.numpy as jnp
 import numpy as np
 
-from super_tpu.config import CapacityConfig, SuPerConfig
+from super_tpu.config import CapacityConfig, SolverConfig, SuPerConfig
 from super_tpu.core.preprocess import preprocess_frame
 from super_tpu.data.synthetic import default_intrinsics, generate
 
@@ -11,6 +11,12 @@ from super_tpu.data.synthetic import default_intrinsics, generate
 def tiny_config(h=48, w=64, step=8, proj_depth=4):
     return SuPerConfig(
         height=h, width=w, mesh_step_size=step,
+        solver=SolverConfig(
+            assembly_tuple_cap=1024,
+            assembly_pad_group=8,
+            assembly_tuple_chunk=256,
+            assembly_local=64,
+        ),
         capacity=CapacityConfig(
             surfel_capacity=2 * h * w,
             node_capacity=64,

@@ -65,10 +65,17 @@ def _to64(tree):
         if jnp.issubdtype(x.dtype, jnp.floating) else x, tree)
 
 
+def _scatter_cfg(cfg):
+    import dataclasses
+    return cfg.replace(solver=dataclasses.replace(cfg.solver,
+                                                  assembly_mode="scatter"))
+
+
 def test_jtj_matches_autodiff(scene, tracker0):
     """The hand-assembled normal equations must equal J^T J / -J^T r computed
     by autodiff of the residual vector (both f64)."""
     cfg, intr, seq, frames = scene
+    cfg = _scatter_cfg(cfg)
     st = tracker0
     ctx = _to64(prepare_lm(cfg, st.surfels, st.graph, frames[1]))
     # Slice the surfel dimension to keep the autodiff Jacobian cheap: the
@@ -105,6 +112,33 @@ def test_jtj_matches_autodiff(scene, tracker0):
     rscale = float(jnp.max(jnp.abs(jtr_ad))) + 1e-12
     np.testing.assert_allclose(np.asarray(jtr) / rscale,
                                np.asarray(jtr_ad) / rscale, atol=1e-9)
+
+
+def test_tuple_assembly_matches_scatter(scene, tracker0):
+    """The tuple-grouped MXU assembly must produce the same normal equations
+    as the direct scatter path."""
+    cfg, intr, seq, frames = scene
+    st = tracker0
+    rng = np.random.default_rng(5)
+    j_cap = cfg.capacity.node_capacity
+    beta = (jnp.tile(IDENTITY_DQ.astype(jnp.float64)[None], (j_cap, 1))
+            + 0.01 * jnp.asarray(rng.normal(size=(j_cap, 7))))
+
+    ctx_t = _to64(prepare_lm(cfg, st.surfels, st.graph, frames[1]))
+    assert ctx_t.layout is not None
+    jtj_t, jtr_t = assemble_normal_equations(cfg, ctx_t, beta, _to64(intr))
+
+    cfg_s = _scatter_cfg(cfg)
+    ctx_s = _to64(prepare_lm(cfg_s, st.surfels, st.graph, frames[1]))
+    assert ctx_s.layout is None
+    jtj_s, jtr_s = assemble_normal_equations(cfg_s, ctx_s, beta, _to64(intr))
+
+    scale = float(jnp.max(jnp.abs(jtj_s))) + 1e-12
+    np.testing.assert_allclose(np.asarray(jtj_t) / scale,
+                               np.asarray(jtj_s) / scale, atol=1e-10)
+    rscale = float(jnp.max(jnp.abs(jtr_s))) + 1e-12
+    np.testing.assert_allclose(np.asarray(jtr_t) / rscale,
+                               np.asarray(jtr_s) / rscale, atol=1e-10)
 
 
 def test_f32_assembly_close_to_f64(scene, tracker0):
