@@ -28,6 +28,10 @@ def main():
     ap.add_argument("--mesh_step_size", type=int, default=30)
     ap.add_argument("--reps", type=int, default=10)
     ap.add_argument("--mode", default="step", choices=["step", "lm"])
+    ap.add_argument("--association", default="per_frame",
+                    choices=["per_frame", "per_iteration"],
+                    help="per_frame = projective-ICP association (fast); "
+                         "per_iteration = reference resampling semantics")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -54,6 +58,8 @@ def main():
             p *= 2
         return p
 
+    import dataclasses
+
     node_cap = pow2(len(anchors))
     chunk = 32768
     surfel_cap = -(-int(1.25 * h * w) // chunk) * chunk  # headroom, chunk-aligned
@@ -66,11 +72,14 @@ def main():
             triangle_capacity=2 * node_cap,
         ),
     )
+    cfg = cfg.replace(solver=dataclasses.replace(
+        cfg.solver, association=args.association))
     intr = default_intrinsics(h, w)
 
     seq = generate(3, h, w, intr=intr)
     pre = jax.jit(lambda d, c, t: preprocess_frame(cfg, intr, d, c, t))
-    frames = [pre(jnp.asarray(seq.depths[t]), jnp.asarray(seq.colors[t]),
+    frames = [pre(jnp.asarray(seq.depths[t]),
+                  jnp.asarray(seq.colors[t].transpose(2, 0, 1)),
                   jnp.float32(t)) for t in range(3)]
     state0 = init_tracker(cfg, frames[0])
 

@@ -64,8 +64,14 @@ class SolverConfig:
     assembly_mode: str = "tuple"
     assembly_tuple_cap: int = 8192   # max distinct anchor tuples per frame
     assembly_pad_group: int = 16     # tuple runs padded to multiples of this
-    assembly_tuple_chunk: int = 1024  # C: einsum chunk length
-    assembly_local: int = 128        # L >= C/pad_group + 2: one-hot width
+    # Data association for the point-plane term:
+    #   "per_iteration": re-project + re-sample the target maps inside every
+    #     LM iteration (reference semantics, super/loss.py:222-248) --
+    #     gather-bound on TPU;
+    #   "per_frame": projective association once per frame (classical
+    #     projective ICP a la KinectFusion); iterations then re-linearize
+    #     only the warp.  ~10x fewer gathers, slightly different trajectory.
+    association: str = "per_iteration"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -11,83 +11,92 @@ Parity:
 - The weight *recomputation* with fixed indices inside fusion
   (nodes.py:466-484).
 
-Masked semantics: softmax runs over the finite-distance neighbors only, so a
-graph with fewer than K active nodes degrades gracefully (the reference
-would crash).
+Surfel-side arrays are feature-major ((3, N) points, (K, N) anchors); the
+small ED graph stays row-major.  Masked semantics: softmax runs over the
+finite-distance neighbors only, so a graph with fewer than K active nodes
+degrades gracefully (the reference would crash).
 """
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax.numpy as jnp
 
 from super_tpu.config import SuPerConfig
 from super_tpu.core.state import GraphState, SurfelState
-from super_tpu.geometry.divergence import jsd
-from super_tpu.ops.knn import class_masked_knn, masked_knn
+from super_tpu.ops.knn import masked_knn, self_knn
 
 _NEG_INF = -jnp.inf
+_JSD_EPS = 1e-13  # utils/utils.py:244-254 epsilon convention
 
 
-def _softmax_exp_neg(scores, finite_mask):
-    """softmax(exp(-scores)) over the last axis, restricted to finite rows."""
-    z = jnp.where(finite_mask, jnp.exp(-scores), _NEG_INF)
-    return _stable_softmax(z)
-
-
-def _stable_softmax(z):
-    zmax = jnp.max(z, axis=-1, keepdims=True)
+def _stable_softmax0(z):
+    """Softmax over axis 0 with -inf masking."""
+    zmax = jnp.max(z, axis=0, keepdims=True)
     zmax = jnp.where(jnp.isfinite(zmax), zmax, 0.0)
     e = jnp.exp(z - zmax)
     e = jnp.where(jnp.isfinite(z), e, 0.0)
-    return e / jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 1e-20)
+    return e / jnp.maximum(jnp.sum(e, axis=0, keepdims=True), 1e-20)
+
+
+def _softmax_exp_neg0(scores, finite_mask):
+    """softmax(exp(-scores)) over axis 0, restricted to finite entries."""
+    z = jnp.where(finite_mask, jnp.exp(-scores), _NEG_INF)
+    return _stable_softmax0(z)
+
+
+def _jsd_channelwise(graph_conf_t, idx, q_conf):
+    """JSD between anchor-node class confidences and per-point confidences.
+
+    graph_conf_t: (C, J); idx: (K, N) anchor ids; q_conf: (C, N).
+    Returns (K, N).  Channel-wise rank-1 gathers keep buffers compact.
+    """
+    c = graph_conf_t.shape[0]
+    kl_pm = 0.0
+    kl_qm = 0.0
+    for ch in range(c):
+        p = graph_conf_t[ch][idx]          # (K, N)
+        q = q_conf[ch][None, :]            # (1, N)
+        m = 0.5 * (p + q)
+        kl_pm = kl_pm + p * jnp.log(p / (m + _JSD_EPS) + _JSD_EPS)
+        kl_qm = kl_qm + q * jnp.log(q / (m + _JSD_EPS) + _JSD_EPS)
+    return 0.5 * (kl_pm + kl_qm)
 
 
 def update_graph_knn(cfg: SuPerConfig, graph: GraphState) -> GraphState:
     """Node-node neighbor graph + ARAP blend weights (update_ed parity)."""
     k = cfg.num_ed_neighbors
-    if cfg.hard_seg:
-        dists, idx = class_masked_knn(
-            graph.points, graph.points, k + 1, graph.seg, graph.seg,
-            query_mask=graph.active, ref_mask=graph.active,
-            chunk=min(8192, graph.capacity))
-    else:
-        dists, idx = masked_knn(
-            graph.points, graph.points, k + 1,
-            query_mask=graph.active, ref_mask=graph.active,
-            chunk=min(8192, graph.capacity))
-    dists, idx = dists[:, 1:], idx[:, 1:]  # drop self-match
-    nd = dists / jnp.maximum(graph.radii[:, None], 1e-12)
+    dists, idx = self_knn(
+        graph.points.T, k, mask=graph.active,
+        seg=graph.seg if cfg.hard_seg else None)  # (k, J)
+    nd = dists / jnp.maximum(graph.radii[None, :], 1e-12)
     finite = jnp.isfinite(dists)
-    w = _softmax_exp_neg(nd, finite)
-    return graph._replace(knn_idx=idx, knn_w=w)
+    w = _softmax_exp_neg0(nd, finite)
+    return graph._replace(knn_idx=idx.T, knn_w=w.T)
 
 
 def anchor_points(
     cfg: SuPerConfig,
     graph: GraphState,
-    points,                    # (N, 3)
+    points,                    # (3, N) feature-major
     mask,                      # (N,) bool candidate validity
     seg=None,                  # (N,) int, for hard_seg
-    seg_conf=None,             # (N, C), for semantic soft weights
+    seg_conf=None,             # (C, N), for semantic soft weights
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """K nearest ED nodes per point + blend weights + stability mask.
 
-    Returns (knn_idx (N, K), knn_w (N, K), stable (N,)).
+    Returns (knn_idx (K, N), knn_w (K, N), stable (N,)).
     """
     k = cfg.num_neighbors
-    if cfg.hard_seg:
-        dists, idx = class_masked_knn(
-            points, graph.points, k, seg, graph.seg,
-            query_mask=mask, ref_mask=graph.active)
-    else:
-        dists, idx = masked_knn(points, graph.points, k,
-                                query_mask=mask, ref_mask=graph.active)
-    radii = graph.radii[idx]
+    dists, idx = masked_knn(
+        points, graph.points.T, k, query_mask=mask, ref_mask=graph.active,
+        query_seg=seg if cfg.hard_seg else None,
+        ref_seg=graph.seg if cfg.hard_seg else None)
+    radii = graph.radii[idx]               # (K, N) rank-1 gather per row
     finite = jnp.isfinite(dists)
     # Too far from every anchor -> unstable (nodes.py:181-182).
-    stable = mask & jnp.any(finite & (dists <= radii), axis=1)
+    stable = mask & jnp.any(finite & (dists <= radii), axis=0)
     w = _anchor_weights(cfg, graph, idx, dists, radii, finite, seg_conf)
     return idx, w, stable
 
@@ -95,21 +104,25 @@ def anchor_points(
 def _anchor_weights(cfg, graph, idx, dists, radii, finite, seg_conf):
     nd = dists / jnp.maximum(radii, 1e-12)
     if cfg.method == "semantic-super" and not cfg.hard_seg and seg_conf is not None:
-        p = graph.seg_conf[idx]            # (N, K, C)
-        q = seg_conf[:, None, :]           # (N, 1, C)
-        scores = 0.5 * jsd(p, q) + 0.5 * nd  # log of the geometric blend
-        return _softmax_exp_neg(scores, finite)
-    return _softmax_exp_neg(nd, finite)
+        div = _jsd_channelwise(graph.seg_conf.T, idx, seg_conf)
+        scores = 0.5 * div + 0.5 * nd  # log of the geometric blend
+        return _softmax_exp_neg0(scores, finite)
+    return _softmax_exp_neg0(nd, finite)
 
 
 def recompute_surfel_weights(cfg: SuPerConfig, surfels: SurfelState,
                              graph: GraphState) -> SurfelState:
     """Refresh knn_w from current positions, keeping anchor indices
     (fusion step, nodes.py:466-484)."""
-    anchors = graph.points[surfels.knn_idx]
-    dists = jnp.linalg.norm(surfels.points[:, None, :] - anchors, axis=-1)
-    radii = graph.radii[surfels.knn_idx]
+    idx = surfels.knn_idx                   # (K, N)
+    gp_t = graph.points.T                   # (3, J)
+    d2 = 0.0
+    for ch in range(3):
+        diff = surfels.points[ch][None, :] - gp_t[ch][idx]
+        d2 = d2 + diff * diff
+    dists = jnp.sqrt(d2)                    # (K, N)
+    radii = graph.radii[idx]
     finite = jnp.ones_like(dists, dtype=bool)
-    w = _anchor_weights(cfg, graph, surfels.knn_idx, dists, radii, finite,
+    w = _anchor_weights(cfg, graph, idx, dists, radii, finite,
                         surfels.seg_conf)
     return surfels._replace(knn_w=w)

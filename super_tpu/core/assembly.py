@@ -7,17 +7,16 @@ values serializes on TPU (~400 ms at N = 300k); but surfels overwhelmingly
 share anchor tuples (spatial coherence of the KNN anchoring), so:
 
 1. *Per frame* (anchors are fixed across LM iterations): sort surfels by
-   anchor tuple, pad each tuple's run to a multiple of G so that any
-   C-aligned chunk spans at most C/G + 1 distinct tuples, and record the
-   (tuple -> 4 nodes) table.
-2. *Per iteration*: compute h for the padded ordering, form per-chunk
-   one-hot matrices over <= L local tuples and reduce with ONE batched
-   einsum on the MXU (measured ~7 ms vs 413 ms for scatter at N = 307k),
-   then expand the (T, 28, 28) tuple Grams into the dense JTJ with a small
-   (T x 16 block) scatter.
+   anchor tuple and pad each tuple's run to a multiple of G, G-aligned.
+   Every G-block of the padded order then lies inside exactly ONE tuple.
+2. *Per iteration*: compute h in the padded order; reduce each G-block with
+   one tiny matmul (batched einsum, ~Np * 28 * 29 * 2 flops total); combine
+   the per-block partial Grams into per-tuple Grams with a small sorted
+   scatter (blocks = Np / G rows); finally expand the (T, 28, 28) tuple
+   Grams into the dense JTJ with a T x 16-block scatter.
 
-Everything is shape-static; inactive surfels sort to the tail with zeroed
-contributions.
+Everything is shape-static; inactive surfels sort into a masked sink tuple
+with zeroed contributions.
 """
 
 from __future__ import annotations
@@ -31,11 +30,10 @@ import jax.numpy as jnp
 class TupleLayout(NamedTuple):
     """Per-frame static structure for the tuple-grouped assembly."""
 
-    src_of: jnp.ndarray       # (Np,) original surfel id per padded slot, N = pad
-    slot_valid: jnp.ndarray   # (Np,) real surfel (not padding)
-    tuple_of_slot: jnp.ndarray  # (Np,) tuple id per padded slot (monotonic)
-    tuple_nodes: jnp.ndarray  # (T, K) node ids of each tuple
-    chunk_base: jnp.ndarray   # (num_chunks,) first tuple id of each chunk
+    src_of: jnp.ndarray        # (Np,) original surfel id per padded slot
+    slot_valid: jnp.ndarray    # (Np,) real + in-range surfel (not padding)
+    block_tuple: jnp.ndarray   # (Np / G,) tuple id of each G-block
+    tuple_nodes: jnp.ndarray   # (T, K) node ids of each tuple
 
     @property
     def padded_size(self):
@@ -43,23 +41,21 @@ class TupleLayout(NamedTuple):
 
 
 def build_tuple_layout(knn_idx, active, node_cap: int, *, tuple_cap: int,
-                       chunk: int, pad_group: int) -> TupleLayout:
-    """Sort surfels by anchor tuple and build the padded layout.
+                       pad_group: int, chunk: int = 32768) -> TupleLayout:
+    """Sort surfels by anchor tuple and build the G-aligned padded layout.
 
     Args:
-      knn_idx: (N, K) anchor node ids; active: (N,) surfel validity.
-      tuple_cap: max distinct tuples T (overflow tuples collapse into the
-        last slot with *correct* node addressing lost -- sized generously).
-      chunk: C, the einsum chunk length (padded size is a multiple of it).
-      pad_group: G; each tuple run is padded to a multiple of G, bounding
-        distinct tuples per chunk by C/G + 1.
+      knn_idx: (K, N) anchor node ids (feature-major); active: (N,) validity.
+      tuple_cap: max distinct tuples T; the last id is a masked sink for
+        overflow (and for the inactive-surfel pseudo-tuple, which sorts
+        last), so overflow degrades to dropped residuals, never corruption.
+      pad_group: G; tuple runs padded to multiples of G.
     """
-    n, k = knn_idx.shape
+    k, n = knn_idx.shape
     assert k == 4, "tuple layout assumes K=4 anchors"
-    # Lexicographic sort key (two int32 words; node_cap <= 46340 keeps the
-    # products in int32 range).
-    k1 = knn_idx[:, 0] * node_cap + knn_idx[:, 1]
-    k2 = knn_idx[:, 2] * node_cap + knn_idx[:, 3]
+    # Lexicographic sort key (two int32 words; node_cap^2 must fit int32).
+    k1 = knn_idx[0] * node_cap + knn_idx[1]
+    k2 = knn_idx[2] * node_cap + knn_idx[3]
     big = node_cap * node_cap
     k1 = jnp.where(active, k1, big)  # inactive surfels sort last
     k2 = jnp.where(active, k2, big)
@@ -74,13 +70,10 @@ def build_tuple_layout(knn_idx, active, node_cap: int, *, tuple_cap: int,
         (k1s[1:] != k1s[:-1]) | (k2s[1:] != k2s[:-1]),
     ])
     tid_raw = jnp.cumsum(new_tuple) - 1
-    # The last tuple id is a sink: overflow tuples (and the inactive-surfel
-    # pseudo-tuple, which sorts last) are masked out rather than corrupting
-    # other tuples' node addressing.  Size tuple_cap so real frames fit.
     in_range = tid_raw < tuple_cap - 1
     tid_sorted = jnp.clip(tid_raw, 0, tuple_cap - 1).astype(jnp.int32)
 
-    # Tuple sizes and padded bases.
+    # Tuple sizes and G-aligned padded bases.
     ones = jnp.ones((n,), dtype=jnp.int32)
     sizes = jnp.zeros((tuple_cap,), dtype=jnp.int32).at[tid_sorted].add(ones)
     padded_sizes = ((sizes + pad_group - 1) // pad_group) * pad_group
@@ -89,10 +82,12 @@ def build_tuple_layout(knn_idx, active, node_cap: int, *, tuple_cap: int,
     base = jnp.concatenate([jnp.zeros((1,), jnp.int32),
                             jnp.cumsum(sizes)[:-1].astype(jnp.int32)])
 
-    # Destination slot of each sorted surfel.
     pos_in_tuple = jnp.arange(n, dtype=jnp.int32) - base[tid_sorted]
     dest = pbase[tid_sorted] + pos_in_tuple
 
+    # Padded capacity: multiple of the streaming chunk (which itself must be
+    # a multiple of pad_group) so chunked scans tile exactly.
+    assert chunk % pad_group == 0
     np_cap = ((n + tuple_cap * pad_group + chunk - 1) // chunk) * chunk
     src_of = jnp.full((np_cap,), n, dtype=jnp.int32).at[
         jnp.where(in_range, dest, np_cap)].set(perm.astype(jnp.int32),
@@ -100,79 +95,52 @@ def build_tuple_layout(knn_idx, active, node_cap: int, *, tuple_cap: int,
     slot_valid = src_of < n
     src_of = jnp.where(slot_valid, src_of, 0)
 
-    # Tuple id per padded slot: searchsorted over padded bases (monotonic).
+    # Tuple id per G-block: block b covers slots [bG, (b+1)G) which lie in
+    # one tuple; identify it via searchsorted over padded run ends.
     pend = jnp.cumsum(padded_sizes)
-    tuple_of_slot = jnp.searchsorted(pend, jnp.arange(np_cap), side="right")
-    tuple_of_slot = jnp.clip(tuple_of_slot, 0, tuple_cap - 1).astype(jnp.int32)
+    block_starts = jnp.arange(np_cap // pad_group, dtype=jnp.int32) * pad_group
+    block_tuple = jnp.searchsorted(pend, block_starts, side="right")
+    block_tuple = jnp.clip(block_tuple, 0, tuple_cap - 1).astype(jnp.int32)
 
-    tuple_nodes = jnp.zeros((tuple_cap, k), dtype=jnp.int32).at[
-        tid_sorted].set(knn_idx[perm], mode="drop")
+    # Node ids per tuple (channel-wise rank-1 scatters).
+    cols = []
+    for kk in range(k):
+        cols.append(jnp.zeros((tuple_cap,), dtype=jnp.int32).at[
+            tid_sorted].set(knn_idx[kk][perm], mode="drop"))
+    tuple_nodes = jnp.stack(cols, axis=1)
 
-    chunk_base = tuple_of_slot[::chunk]
     return TupleLayout(src_of=src_of, slot_valid=slot_valid,
-                       tuple_of_slot=tuple_of_slot, tuple_nodes=tuple_nodes,
-                       chunk_base=chunk_base)
+                       block_tuple=block_tuple, tuple_nodes=tuple_nodes)
 
 
-def tuple_reduce(layout: TupleLayout, h, rhs, *, chunk: int, local: int,
-                 group: int = 32):
-    """Reduce per-surfel rank-1 terms into per-tuple Grams.
+def block_reduce(layout: TupleLayout, h, r, *, pad_group: int):
+    """Per-surfel rank-1 terms -> per-tuple Grams.
 
     Args:
-      h: (Np, D) per-slot gradient rows (zeros at padding); D = 28.
-      rhs: (Np,) per-slot residuals.
-      local: L, one-hot width (>= chunk/pad_group + 1).
-      group: chunks per scan step (amortizes loop overhead vs peak memory).
-    Returns: (gram (T, D, D), jtr_t (T, D)) summed per tuple.
+      h: (Np, D) gradient rows in padded order (zeros at padding); D = 28.
+      r: (Np,) residuals in padded order.
+    Returns: (gram (T, D, D), jtr_t (T, D)).
     """
     np_cap, d = h.shape
     t_cap = layout.tuple_nodes.shape[0]
-    nchunks = np_cap // chunk
-    hs = h.reshape(nchunks, chunk, d)
-    rs = rhs.reshape(nchunks, chunk)
-    tids = layout.tuple_of_slot.reshape(nchunks, chunk)
-    bases = layout.chunk_base
-
-    # Append the residual column so one einsum produces both JTJ and JTr
-    # per tuple: hh[..., :D] = h h^T rows, hh[..., D] = h * r.
-    def one_group(args):
-        hc, rc, tc, bc = args   # (g, C, D), (g, C), (g, C), (g,)
-        loc = jnp.clip(tc - bc[:, None], 0, local - 1)
-        onehot = jax.nn.one_hot(loc, local, dtype=h.dtype)      # (g, C, L)
-        ext = jnp.concatenate([hc, rc[..., None]], axis=-1)     # (g, C, D+1)
-        hh = hc[..., :, None] * ext[..., None, :]               # (g, C, D, D+1)
-        return jnp.einsum("gcl,gcij->glij", onehot, hh)          # (g, L, D, D+1)
-
-    gsz = 1
-    for cand in range(min(group, nchunks), 0, -1):
-        if nchunks % cand == 0:
-            gsz = cand
-            break
-    ngroups = nchunks // gsz
-    if ngroups == 1:
-        parts = one_group((hs, rs, tids, bases))
-        parts = parts.reshape(nchunks, local, d, d + 1)
-    else:
-        def body(_, args):
-            return None, one_group(args)
-        _, parts = jax.lax.scan(
-            body, None,
-            (hs.reshape(ngroups, gsz, chunk, d),
-             rs.reshape(ngroups, gsz, chunk),
-             tids.reshape(ngroups, gsz, chunk),
-             bases.reshape(ngroups, gsz)))
-        parts = parts.reshape(nchunks, local, d, d + 1)
-
-    rows = (bases[:, None] + jnp.arange(local)[None, :]).reshape(-1)
-    acc = jnp.zeros((t_cap + local, d, d + 1), dtype=h.dtype).at[rows].add(
-        parts.reshape(-1, d, d + 1), mode="drop")
-    acc = acc[:t_cap]
+    nblocks = np_cap // pad_group
+    hb = h.reshape(nblocks, pad_group, d)
+    ext = jnp.concatenate([hb, (r.reshape(nblocks, pad_group))[..., None]],
+                         axis=-1)                          # (B, G, D+1)
+    # Level 1: one tiny matmul per G-block (MXU batched), flattened to
+    # (B, D*(D+1)) so neither level materializes a padded (.., 28, 29) tile.
+    partial = jnp.einsum("bgi,bgj->bij", hb, ext).reshape(nblocks, d * (d + 1))
+    # Level 2: combine blocks per tuple (sorted ids, B ~ Np/G rows).
+    acc = jnp.zeros((t_cap, d * (d + 1)), dtype=h.dtype).at[
+        layout.block_tuple].add(partial)
+    acc = acc.reshape(t_cap, d, d + 1)
     return acc[..., :d], acc[..., d]
 
 
 def expand_to_blocks(layout: TupleLayout, gram, jtr_t, jtj_blocks, jtr):
     """Scatter per-tuple Grams into the (J, J, 7, 7) block matrix and
-    (J, 7) JTr.  T x 16 blocks -- small, fast scatter."""
+    (J, 7) JTr.  The sink tuple (last id) carries only masked contributions
+    (zeros), so adding it is harmless."""
     t_cap, d, _ = gram.shape
     k = layout.tuple_nodes.shape[1]
     g5 = gram.reshape(t_cap, k, 7, k, 7).transpose(0, 1, 3, 2, 4)

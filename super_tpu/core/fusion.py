@@ -21,18 +21,27 @@ Re-implements Surfels.fuseInputData + prepareStableIndexNSwapAllModel
 5. *Prune* (nodes.py:543-589): surfels stale for ``th_time_steps`` are
    deactivated (tracked ones are kept); slot ids are stable so no index
    remapping is needed.
+
+All surfel/candidate arrays are feature-major ((3, N) etc.); per-pixel
+work uses channel-wise rank-1 gathers/scatters.
 """
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
 
 from super_tpu.config import SuPerConfig
 from super_tpu.core.anchoring import anchor_points, recompute_surfel_weights
-from super_tpu.core.state import FrameData, GraphState, SurfelState, TrackState
+from super_tpu.core.state import (
+    FrameData,
+    GraphState,
+    SurfelState,
+    TrackState,
+    gather_rows,
+)
 from super_tpu.geometry.camera import Intrinsics, project_points
 
 
@@ -74,54 +83,81 @@ def build_projection_maps(cfg: SuPerConfig, intr: Intrinsics,
     return proj_id, overflow
 
 
-def _merge_gate(cfg: SuPerConfig, p1, n1, seg1, p2, n2, seg2):
+class _View(Tuple):
+    pass
+
+
+def _gathered(s, sl):
+    """Channel-wise gather of the merge-relevant surfel fields at slots sl."""
+    return dict(
+        points=gather_rows(s.points, sl),
+        norms=gather_rows(s.norms, sl),
+        colors=gather_rows(s.colors, sl),
+        radii=s.radii[sl],
+        confs=s.confs[sl],
+        seg=s.seg[sl],
+        seg_conf=gather_rows(s.seg_conf, sl),
+    )
+
+
+def _frame_fields(f: FrameData):
+    return dict(points=f.points, norms=f.norms, colors=f.colors,
+                radii=f.radii, confs=f.confs, seg=f.seg, seg_conf=f.seg_conf)
+
+
+def _merge_gate(cfg: SuPerConfig, a: Dict, b: Dict):
     """Close-enough test for merging (nodes.py:311-316)."""
-    ok = (jnp.linalg.norm(p1 - p2, axis=-1) < cfg.th_dist) & \
-        (jnp.sum(n1 * n2, axis=-1) > cfg.th_cosine_ang)
+    d2 = jnp.sum((a["points"] - b["points"]) ** 2, axis=0)
+    dot = jnp.sum(a["norms"] * b["norms"], axis=0)
+    ok = (d2 < cfg.th_dist ** 2) & (dot > cfg.th_cosine_ang)
     if cfg.hard_seg or cfg.data == "superv1":
-        ok = ok & (seg1 == seg2)
+        ok = ok & (a["seg"] == b["seg"])
     return ok
 
 
-def _merged_values(cfg: SuPerConfig, s: SurfelState, sl, frame_or_state,
-                   src_idx, time, triple_new_color: bool):
-    """Confidence-weighted merge of surfel slots ``sl`` with source rows
-    ``src_idx`` of ``frame_or_state`` (merge_data, nodes.py:301-355).
-
-    Returns a dict of merged per-row values (aligned with sl)."""
-    o = frame_or_state
-    w1 = s.confs[sl]
-    w2 = o.confs[src_idx]
+def _merged_values(cfg: SuPerConfig, a: Dict, b: Dict, time,
+                   triple_new_color: bool):
+    """Confidence-weighted merge (merge_data, nodes.py:301-355)."""
+    w1, w2 = a["confs"], b["confs"]
     w_sum = w1 + w2
-    a1 = (w1 / jnp.maximum(w_sum, 1e-20))[:, None]
-    a2 = (w2 / jnp.maximum(w_sum, 1e-20))[:, None]
-    points = a1 * s.points[sl] + a2 * o.points[src_idx]
-    norms = a1 * s.norms[sl] + a2 * o.norms[src_idx]
-    norms = norms / jnp.maximum(jnp.linalg.norm(norms, axis=-1, keepdims=True), 1e-12)
-    radii = a1[:, 0] * s.radii[sl] + a2[:, 0] * o.radii[src_idx]
+    a1 = w1 / jnp.maximum(w_sum, 1e-20)
+    a2 = w2 / jnp.maximum(w_sum, 1e-20)
+    points = a1 * a["points"] + a2 * b["points"]
+    norms = a1 * a["norms"] + a2 * b["norms"]
+    norms = norms / jnp.maximum(jnp.linalg.norm(norms, axis=0, keepdims=True),
+                                1e-12)
+    radii = a1 * a["radii"] + a2 * b["radii"]
     if triple_new_color:
         wc1, wc2 = a1, 3.0 * a2
-        cs = wc1 + wc2
-        colors = wc1 / cs * s.colors[sl] + wc2 / cs * o.colors[src_idx]
+        cs = jnp.maximum(wc1 + wc2, 1e-20)
+        colors = wc1 / cs * a["colors"] + wc2 / cs * b["colors"]
     else:
-        colors = a1 * s.colors[sl] + a2 * o.colors[src_idx]
+        colors = a1 * a["colors"] + a2 * b["colors"]
     out = dict(points=points, norms=norms, radii=radii, colors=colors,
-               confs=w_sum, time_stamp=jnp.full_like(w_sum, time))
+               confs=w_sum,
+               time_stamp=jnp.full_like(w_sum, time))
     if cfg.method == "semantic-super":
-        sc = a1 * s.seg_conf[sl] + a2 * o.seg_conf[src_idx]
-        sc = sc / jnp.maximum(jnp.sum(sc, axis=1, keepdims=True), 1e-20)
+        sc = a1 * a["seg_conf"] + a2 * b["seg_conf"]
+        sc = sc / jnp.maximum(jnp.sum(sc, axis=0, keepdims=True), 1e-20)
         out["seg_conf"] = sc
-        out["seg"] = jnp.argmax(sc, axis=1).astype(jnp.int32)
+        out["seg"] = jnp.argmax(sc, axis=0).astype(jnp.int32)
     return out
 
 
 def _scatter_merge(s: SurfelState, sl, do, vals) -> SurfelState:
-    """Apply merged values at slots ``sl`` where ``do`` (unique slots)."""
+    """Apply merged values at slots ``sl`` where ``do`` (slots unique)."""
     upd = {}
     for name, new in vals.items():
-        cur = getattr(s, name)[sl]
-        sel = jnp.where(do[:, None] if new.ndim == 2 else do, new, cur)
-        upd[name] = getattr(s, name).at[sl].set(sel, mode="drop")
+        cur = getattr(s, name)
+        if cur.ndim == 2:  # feature-major (F, N)
+            rows = []
+            for f in range(cur.shape[0]):
+                v = jnp.where(do, new[f], cur[f][sl])
+                rows.append(cur[f].at[sl].set(v, mode="drop"))
+            upd[name] = jnp.stack(rows)
+        else:
+            v = jnp.where(do, new, cur[sl])
+            upd[name] = cur.at[sl].set(v, mode="drop")
     return s._replace(**upd)
 
 
@@ -137,21 +173,19 @@ def fuse_frame(cfg: SuPerConfig, intr: Intrinsics, surfels: SurfelState,
     proj_id, overflow = build_projection_maps(cfg, intr, surfels)
     surfels = surfels._replace(active=surfels.active & ~overflow)
     layer_occupied = proj_id >= 0  # (L, P)
+    frame_f = _frame_fields(frame)
 
     # --- stage 2: merge candidates into layer surfels ---------------------
-    cand_left = frame.valid & layer_occupied[0]  # candidates that may merge
-    add_mask = frame.valid & ~layer_occupied[0]  # pixels with no surfel
+    cand_left = frame.valid & layer_occupied[0]
+    add_mask = frame.valid & ~layer_occupied[0]
     if not cfg.disable_merging_new_surfels:
         for i in range(cfg.capacity.proj_map_depth):
             sl = jnp.clip(proj_id[i], 0, surfels.capacity - 1)
             try_merge = cand_left & layer_occupied[i]
-            cand_idx = jnp.arange(p)
-            gate = _merge_gate(cfg,
-                               surfels.points[sl], surfels.norms[sl],
-                               surfels.seg[sl],
-                               frame.points, frame.norms, frame.seg)
+            sview = _gathered(surfels, sl)
+            gate = _merge_gate(cfg, sview, frame_f)
             do = try_merge & gate
-            vals = _merged_values(cfg, surfels, sl, frame, cand_idx, time,
+            vals = _merged_values(cfg, sview, frame_f, time,
                                   triple_new_color=True)
             surfels = _scatter_merge(surfels, sl, do, vals)
             cand_left = cand_left & ~do
@@ -170,14 +204,11 @@ def fuse_frame(cfg: SuPerConfig, intr: Intrinsics, surfels: SurfelState,
             for j in range(i + 1, depth_l):
                 sl_j = jnp.clip(proj_id[j], 0, surfels.capacity - 1)
                 both = alive_layer[i] & alive_layer[j]
-                gate = _merge_gate(cfg,
-                                   surfels.points[sl_i], surfels.norms[sl_i],
-                                   surfels.seg[sl_i],
-                                   surfels.points[sl_j], surfels.norms[sl_j],
-                                   surfels.seg[sl_j])
-                do = both & gate
-                vals = _merged_values(cfg, surfels, sl_i, surfels, sl_j,
-                                      time, triple_new_color=False)
+                vi = _gathered(surfels, sl_i)
+                vj = _gathered(surfels, sl_j)
+                do = both & _merge_gate(cfg, vi, vj)
+                vals = _merged_values(cfg, vi, vj, time,
+                                      triple_new_color=False)
                 surfels = _scatter_merge(surfels, sl_i, do, vals)
                 # Delete j, remap tracked ids j -> i.
                 active = active.at[sl_j].set(
@@ -200,28 +231,33 @@ def fuse_frame(cfg: SuPerConfig, intr: Intrinsics, surfels: SurfelState,
 
         n = surfels.capacity
         free = ~surfels.active
-        free_rank = jnp.cumsum(free) - 1  # rank of each free slot
+        free_rank = jnp.cumsum(free) - 1
         slot_by_rank = jnp.full((n,), n, dtype=jnp.int32).at[
             jnp.where(free, free_rank, n)].set(
                 jnp.arange(n, dtype=jnp.int32), mode="drop")
         cand_rank = jnp.cumsum(add) - 1
         target = jnp.where(add, slot_by_rank[jnp.clip(cand_rank, 0, n - 1)], n)
 
+        def scat_fm(dst, src):
+            rows = [dst[f].at[target].set(src[f], mode="drop")
+                    for f in range(dst.shape[0])]
+            return jnp.stack(rows)
+
         def scat(dst, src):
             return dst.at[target].set(src, mode="drop")
 
         surfels = surfels._replace(
-            points=scat(surfels.points, frame.points),
-            norms=scat(surfels.norms, frame.norms),
-            colors=scat(surfels.colors, frame.colors),
+            points=scat_fm(surfels.points, frame.points),
+            norms=scat_fm(surfels.norms, frame.norms),
+            colors=scat_fm(surfels.colors, frame.colors),
             radii=scat(surfels.radii, frame.radii),
             confs=scat(surfels.confs, frame.confs),
             time_stamp=scat(surfels.time_stamp,
                             jnp.full((p,), time, dtype=jnp.float32)),
-            knn_idx=scat(surfels.knn_idx, knn_idx),
-            knn_w=scat(surfels.knn_w, knn_w),
+            knn_idx=scat_fm(surfels.knn_idx, knn_idx),
+            knn_w=scat_fm(surfels.knn_w, knn_w),
             seg=scat(surfels.seg, frame.seg),
-            seg_conf=scat(surfels.seg_conf, frame.seg_conf),
+            seg_conf=scat_fm(surfels.seg_conf, frame.seg_conf),
             dist2edge=scat(surfels.dist2edge, frame.dist2edge),
             active=surfels.active.at[target].set(True, mode="drop"),
         )

@@ -92,9 +92,9 @@ def build_graph(cfg: SuPerConfig, frame: FrameData) -> GraphState:
 
     pix = jnp.asarray(anchor_pix)
     active = frame.valid[pix]
-    points = frame.points[pix]
-    norms = frame.norms[pix]
-    seg_conf = frame.seg_conf[pix]
+    points = frame.points[:, pix].T      # (G, 3) -- graph stays row-major
+    norms = frame.norms[:, pix].T
+    seg_conf = frame.seg_conf[:, pix].T  # (G, C)
     seg = jnp.argmax(seg_conf, axis=1).astype(jnp.int32) if cfg.method == "semantic-super" \
         else frame.seg[pix]
 

@@ -27,6 +27,7 @@ from super_tpu.config import SuPerConfig
 from super_tpu.core.losses import (
     LMContext,
     assemble_normal_equations,
+    associate,
     total_cost,
 )
 from super_tpu.geometry.camera import Intrinsics
@@ -51,10 +52,17 @@ def lm_solve(cfg: SuPerConfig, ctx: LMContext, intr: Intrinsics,
     best0 = jnp.asarray(1e10, dtype)
     eye = jnp.eye(dim, dtype=dtype)
 
+    # Frozen projective association (classical ICP mode): one sampling pass
+    # at the identity warp; iterations re-linearize only the warp field.
+    assoc = None
+    if cfg.solver.association == "per_frame" and cfg.losses.sf_point_plane:
+        assoc = associate(cfg, ctx, beta0, intr)
+
     def body(_, carry):
         beta, best_beta, best_cost, u = carry
         jtj, jtr = assemble_normal_equations(cfg, ctx, beta, intr,
-                                             axis_name=axis_name)
+                                             axis_name=axis_name,
+                                             assoc=assoc)
         a = jtj + u * eye
         # Jacobi (symmetric diagonal) scaling before the factorization: the
         # q- and b-columns differ in magnitude by ~1e3 (projection chain vs
@@ -70,7 +78,8 @@ def lm_solve(cfg: SuPerConfig, ctx: LMContext, intr: Intrinsics,
         ok = jnp.all(jnp.isfinite(delta))
         delta = jnp.where(ok, delta, 0.0).reshape(j_cap, 7)
         beta_new = beta + delta
-        cost = total_cost(cfg, ctx, beta_new, intr, axis_name=axis_name)
+        cost = total_cost(cfg, ctx, beta_new, intr, axis_name=axis_name,
+                          assoc=assoc)
         accept = ok & (cost < best_cost)
         best_beta = jnp.where(accept, beta_new, best_beta)
         best_cost = jnp.where(accept, cost, best_cost)

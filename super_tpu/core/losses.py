@@ -11,25 +11,28 @@ Derived-gradient faces (LM path) re-implement super/loss.py:207-505:
 Design differences from the reference (TPU-first):
 - No ragged compaction: every residual row exists at fixed capacity and is
   multiplied by a validity mask (invalid rows contribute exact zeros to
-  JTJ / JTr -- same normal equations as the reference's filtering).
-- JTJ is assembled as node-pair 7x7 blocks scattered into a dense
-  (7 J_cap, 7 J_cap) matrix.  At reference scales (J <= 512) the dense
-  normal matrix is small (<= 51 MB) and Cholesky on the MXU is cheap; the
-  block-sparse PCG path (solver.py) covers dense-graph configs.
+  JTJ / JTr -- the same normal equations as the reference's filtering).
+- Surfel-dimension context arrays are feature-major (small axis leading;
+  see core/state.py layout rule), and all per-surfel work streams through
+  row-major chunks inside ``lax.scan`` so no (N, small) buffer is ever
+  materialized.
+- JTJ is assembled as node-pair 7x7 blocks into a dense
+  (7 J_cap, 7 J_cap) matrix, via the tuple-grouped MXU reduction
+  (core/assembly.py) or a direct scatter (reference semantics; tests).
 - f32 instead of the reference's f64 (TPU has no native f64); tests compare
-  against a NumPy f64 reference implementation.
+  against autodiff in f64 and f32-vs-f64 assemblies.
 """
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 
 from super_tpu.config import SuPerConfig
 from super_tpu.core import assembly
-from super_tpu.core.state import FrameData, GraphState, SurfelState
+from super_tpu.core.state import FrameData, GraphState, SurfelState, gather_rows
 from super_tpu.geometry.camera import Intrinsics, project_points
 from super_tpu.geometry.quaternion import (
     blend_warp_jac,
@@ -37,61 +40,77 @@ from super_tpu.geometry.quaternion import (
     transform_quat_t,
     transform_quat_t_jac,
 )
-from super_tpu.ops.bilinear import bilinear_sample_indexed
+from super_tpu.ops.bilinear import bilinear_sample_two
 
 
 class LMContext(NamedTuple):
     """Per-frame constants of the LM solve (reference: each loss's
     ``prepare``, super/loss.py:212-220,408-426,480-485).
 
-    With the "tuple" assembly mode, the surfel-dimension fields are stored
-    in the tuple-sorted, padded order described in core/assembly.py (masks
-    cover the padding), and ``layout`` carries the grouping structure.
+    Surfel-dimension fields are feature-major; with the "tuple" assembly
+    mode they are additionally stored in the tuple-sorted padded order of
+    core/assembly.py (masks cover the padding) and ``layout`` carries the
+    grouping structure.
     """
 
-    # --- data term ---
-    sf_mask: jnp.ndarray       # (N,) active surfels
-    sf_knn_idx: jnp.ndarray    # (N, K)
-    sf_knn_w: jnp.ndarray      # (N, K)
-    sf_knn: jnp.ndarray        # (N, K, 3) anchor positions g_i
-    sf_diff: jnp.ndarray       # (N, K, 3) p - g_i
-    sf_skew: jnp.ndarray       # (N, K, 3, 3)
+    # --- data term (surfel dim last) ---
+    sf_mask: jnp.ndarray       # (Np,) active surfels
+    sf_knn_idx: jnp.ndarray    # (K, Np)
+    sf_knn_w: jnp.ndarray      # (K, Np)
+    sf_knn: jnp.ndarray        # (K*3, Np) anchor positions g_i (k-major pack)
+    sf_diff: jnp.ndarray       # (K*3, Np) p - g_i
     # --- target frame ---
-    trg_points: jnp.ndarray    # (P, 3) candidate points (pixel-indexed)
-    trg_norms: jnp.ndarray     # (P, 3)
+    trg_points: jnp.ndarray    # (3, P) candidate points (pixel-indexed)
+    trg_norms: jnp.ndarray     # (3, P)
     trg_index_map: jnp.ndarray  # (H, W)
-    # --- ARAP term ---
+    # --- ARAP term (graph-sized, row-major) ---
     ed_mask: jnp.ndarray       # (J,) active nodes
     ed_knn_idx: jnp.ndarray    # (J, K_ed)
     ed_pair_mask: jnp.ndarray  # (J, K_ed) both endpoints active
     d_eds: jnp.ndarray         # (J, K_ed, 3) g_i - g_j
     ed_skew: jnp.ndarray       # (J, K_ed, 3, 3)
-    layout: Optional["assembly.TupleLayout"]  # tuple-mode grouping or None
+    layout: Optional[assembly.TupleLayout]
+
+
+class DataChunk(NamedTuple):
+    """Row-major slice of the data-term inputs (chunk-sized)."""
+
+    mask: jnp.ndarray     # (C,)
+    knn_idx: jnp.ndarray  # (C, K)
+    knn_w: jnp.ndarray    # (C, K)
+    knn: jnp.ndarray      # (C, K, 3)
+    diff: jnp.ndarray     # (C, K, 3)
 
 
 def prepare_lm(cfg: SuPerConfig, surfels: SurfelState, graph: GraphState,
                frame: FrameData) -> LMContext:
     sol = cfg.solver
     sf_mask = surfels.active
-    sf_knn_idx = surfels.knn_idx
+    sf_knn_idx = surfels.knn_idx       # (K, N)
     sf_knn_w = surfels.knn_w
-    sf_points = surfels.points
+    sf_points = surfels.points         # (3, N)
 
     layout = None
     if sol.assembly_mode == "tuple" and cfg.num_neighbors == 4:
         layout = assembly.build_tuple_layout(
             surfels.knn_idx, surfels.active, graph.capacity,
             tuple_cap=sol.assembly_tuple_cap,
-            chunk=sol.assembly_tuple_chunk,
-            pad_group=sol.assembly_pad_group)
+            pad_group=sol.assembly_pad_group,
+            chunk=sol.assembly_chunk)
         src = layout.src_of
         sf_mask = layout.slot_valid & surfels.active[src]
-        sf_knn_idx = surfels.knn_idx[src]
-        sf_knn_w = surfels.knn_w[src]
-        sf_points = surfels.points[src]
+        sf_knn_idx = gather_rows(surfels.knn_idx, src)   # (K, Np)
+        sf_knn_w = gather_rows(surfels.knn_w, src)
+        sf_points = gather_rows(surfels.points, src)
 
-    sf_knn = graph.points[sf_knn_idx]
-    sf_diff = sf_points[:, None, :] - sf_knn
+    # Packed anchors: row k*3+d of sf_knn is coordinate d of anchor k.
+    k = sf_knn_idx.shape[0]
+    gp_t = graph.points.T              # (3, J)
+    sf_knn = jnp.concatenate(
+        [jnp.stack([gp_t[d][sf_knn_idx[kk]] for d in range(3)])
+         for kk in range(k)], axis=0)  # (K*3, Np)
+    sf_diff = jnp.tile(sf_points, (k, 1)) - sf_knn
+
     ed_knn_idx = graph.knn_idx
     d_eds = graph.points[:, None, :] - graph.points[ed_knn_idx]
     ed_pair_mask = graph.active[:, None] & graph.active[ed_knn_idx]
@@ -101,7 +120,6 @@ def prepare_lm(cfg: SuPerConfig, surfels: SurfelState, graph: GraphState,
         sf_knn_w=sf_knn_w,
         sf_knn=sf_knn,
         sf_diff=sf_diff,
-        sf_skew=skew(sf_diff),
         trg_points=frame.points,
         trg_norms=frame.norms,
         trg_index_map=frame.index_map(cfg.height, cfg.width),
@@ -114,62 +132,169 @@ def prepare_lm(cfg: SuPerConfig, surfels: SurfelState, graph: GraphState,
     )
 
 
-# ---------------------------------------------------------------------------
-# Point-to-plane data term (super/loss.py:207-290)
-# ---------------------------------------------------------------------------
+def _chunk_xs(ctx: LMContext, chunk: int):
+    """Reshape the surfel-dim context into scan inputs of row chunks.
 
-def _project_and_sample(cfg: SuPerConfig, ctx: LMContext, trans_points,
-                        intr: Intrinsics, grad: bool):
-    """Project warped surfels, gate on frame validity, bilinear-sample the
-    target point/normal maps.  Returns sampled values + the combined mask."""
+    Returns xs pytree with leading dim num_chunks; bodies convert to
+    row-major DataChunk views (conversions stay fusion-internal).
+    """
+    np_cap = ctx.sf_mask.shape[0]
+    assert np_cap % chunk == 0, (np_cap, chunk)
+    nc = np_cap // chunk
+
+    def split(a):  # (F, Np) -> (nc, F, C)
+        return jnp.moveaxis(a.reshape(a.shape[0], nc, chunk), 1, 0)
+
+    return (
+        ctx.sf_mask.reshape(nc, chunk),
+        split(ctx.sf_knn_idx),
+        split(ctx.sf_knn_w),
+        split(ctx.sf_knn),
+        split(ctx.sf_diff),
+    ), nc
+
+
+def _chunk_view(xs_elem) -> DataChunk:
+    mask, idx_fm, w_fm, knn_fm, diff_fm = xs_elem
+    c = mask.shape[-1]
+    # Packed (K*3, C) rows are k-major, so (C, K*3) -> (C, K, 3) is exact.
+    return DataChunk(
+        mask=mask,
+        knn_idx=idx_fm.T,                      # (C, K)
+        knn_w=w_fm.T,
+        knn=knn_fm.T.reshape(c, -1, 3),
+        diff=diff_fm.T.reshape(c, -1, 3),
+    )
+
+
+def _project_and_sample(cfg: SuPerConfig, ctx: LMContext, chunk: DataChunk,
+                        trans_points, intr: Intrinsics, grad: bool):
+    """Project warped chunk surfels, gate on frame validity, bilinear-sample
+    the target point/normal maps (loss.py:228-245)."""
     h, w = cfg.height, cfg.width
-    v, u, coords, proj_valid = project_points(trans_points, intr, h, w)
-    p = ctx.trg_points.shape[0]
+    v, u, coords, proj_valid = project_points(trans_points.T, intr, h, w)
+    p = ctx.trg_points.shape[-1]
     coords_c = jnp.clip(coords, 0, p - 1)
-    # Valid pairing: rounded pixel in range and a valid candidate there
-    # (loss.py:229-234), plus the margin test and surfel activity.
-    pair_valid = (coords >= 0) & (coords < p) & (ctx.trg_index_map.reshape(-1)[coords_c] >= 0)
-    mask = ctx.sf_mask & pair_valid & proj_valid
+    pair_valid = (coords >= 0) & (coords < p) & \
+        (ctx.trg_index_map.reshape(-1)[coords_c] >= 0)
+    mask = chunk.mask & pair_valid & proj_valid
 
-    new_points, pvalid, dpdpi = bilinear_sample_indexed(
-        ctx.trg_points, ctx.trg_index_map, v, u, compute_grad=grad)
-    new_norms, nvalid, dndpi = bilinear_sample_indexed(
-        ctx.trg_norms, ctx.trg_index_map, v, u, compute_grad=grad)
-    mask = mask & pvalid & nvalid
+    new_points, new_norms, svalid, dpdpi, dndpi = bilinear_sample_two(
+        ctx.trg_points, ctx.trg_norms, ctx.trg_index_map, v, u,
+        compute_grad=grad)
+    mask = mask & svalid
     return new_points, new_norms, dpdpi, dndpi, mask
 
 
-def data_term_residual(cfg: SuPerConfig, ctx: LMContext, beta,
-                       intr: Intrinsics, weight: float):
-    """Masked residual vector lambda * n^T (T(p) - o), (N,)."""
-    trans_points = transform_quat_t(ctx.sf_diff, beta[ctx.sf_knn_idx])
-    trans_points = jnp.sum(ctx.sf_knn_w[..., None] * (trans_points + ctx.sf_knn), axis=-2)
+class Assoc(NamedTuple):
+    """Frozen per-frame data association (association="per_frame").
+
+    Classical projective ICP: the target point/normal each surfel pairs with
+    is fixed for the frame's solve; LM iterations re-linearize only the warp.
+    """
+
+    o: jnp.ndarray      # (3, Np) associated target points
+    n: jnp.ndarray      # (3, Np) associated target normals
+    mask: jnp.ndarray   # (Np,) association validity
+
+
+def associate(cfg: SuPerConfig, ctx: LMContext, beta, intr: Intrinsics
+              ) -> Assoc:
+    """One projective-association pass at the given beta (chunk-streamed)."""
+    chunk = _cost_chunk_size(cfg, ctx)
+    xs, nc = _chunk_xs(ctx, chunk)
+
+    def one(xs_elem):
+        cv = _chunk_view(xs_elem)
+        beta_k = beta[cv.knn_idx]
+        tp = transform_quat_t(cv.diff, beta_k)
+        tp = jnp.sum(cv.knn_w[..., None] * (tp + cv.knn), axis=-2)
+        o, n, _, _, mask = _project_and_sample(cfg, ctx, cv, tp, intr,
+                                               grad=False)
+        return o.T, n.T, mask  # (3, C), (3, C), (C,)
+
+    if nc == 1:
+        o, n, m = one(jax.tree.map(lambda a: a[0], xs))
+        return Assoc(o=o, n=n, mask=m)
+
+    def body(_, xs_elem):
+        return None, one(xs_elem)
+
+    _, (os, ns, ms) = jax.lax.scan(body, None, xs)
+    np_cap = ctx.sf_mask.shape[0]
+    return Assoc(o=jnp.moveaxis(os, 0, 1).reshape(3, np_cap),
+                 n=jnp.moveaxis(ns, 0, 1).reshape(3, np_cap),
+                 mask=ms.reshape(-1))
+
+
+def _assoc_chunk_xs(assoc: Assoc, chunk: int):
+    nc = assoc.mask.shape[0] // chunk
+
+    def split(a):
+        return jnp.moveaxis(a.reshape(a.shape[0], nc, chunk), 1, 0)
+
+    return (split(assoc.o), split(assoc.n), assoc.mask.reshape(nc, chunk))
+
+
+def frozen_chunk_residual(chunk: DataChunk, o_fm, n_fm, amask, beta,
+                          weight: float):
+    """r = lambda n^T (T(p) - o) with frozen (o, n)."""
+    beta_k = beta[chunk.knn_idx]
+    tp = transform_quat_t(chunk.diff, beta_k)
+    tp = jnp.sum(chunk.knn_w[..., None] * (tp + chunk.knn), axis=-2)
+    mask = chunk.mask & amask
+    r = weight * jnp.sum(n_fm.T * (tp - o_fm.T), axis=-1)
+    return jnp.where(mask, r, 0.0), mask
+
+
+def frozen_chunk_jacobian(chunk: DataChunk, o_fm, n_fm, amask, beta,
+                          weight: float):
+    """Frozen-association residual + gradient rows.
+
+    dr/dq_k = n^T jac_k (warp Jacobian only -- the moving-target terms of
+    the full chain vanish when the association is frozen);
+    dr/db_k = w_k n.
+    """
+    skew_v = skew(chunk.diff)
+    tp, jac = blend_warp_jac(chunk.diff, chunk.knn, beta[chunk.knn_idx],
+                             chunk.knn_w, skew_v=skew_v)
+    n_rm = n_fm.T                        # (C, 3)
+    mask = chunk.mask & amask
+    r = weight * jnp.sum(n_rm * (tp - o_fm.T), axis=-1)
+    g_q = jnp.einsum("ci,ckij->ckj", n_rm, jac)          # (C, K, 4)
+    g_b = chunk.knn_w[..., None] * n_rm[:, None, :]      # (C, K, 3)
+    g = jnp.concatenate([g_q, g_b], axis=-1)             # (C, K, 7)
+    r = jnp.where(mask, r, 0.0)
+    g = jnp.where(mask[:, None, None], weight * g, 0.0)
+    return r, g, mask
+
+
+def data_chunk_residual(cfg: SuPerConfig, ctx: LMContext, chunk: DataChunk,
+                        beta, intr: Intrinsics, weight: float):
+    """Masked residual vector lambda * n^T (T(p) - o) for one chunk."""
+    beta_k = beta[chunk.knn_idx]
+    trans_points = transform_quat_t(chunk.diff, beta_k)
+    trans_points = jnp.sum(chunk.knn_w[..., None] * (trans_points + chunk.knn),
+                           axis=-2)
     new_points, new_norms, _, _, mask = _project_and_sample(
-        cfg, ctx, trans_points, intr, grad=False)
+        cfg, ctx, chunk, trans_points, intr, grad=False)
     r = weight * jnp.sum(new_norms * (trans_points - new_points), axis=-1)
     return jnp.where(mask, r, 0.0), mask
 
 
-def data_term_cost(cfg: SuPerConfig, ctx: LMContext, beta, intr: Intrinsics,
-                   weight: float):
-    """Scalar cost sum((lambda * r)^2) of the point-plane term
-    (loss.py:222-248,289-290 grad=False path)."""
-    r, _ = data_term_residual(cfg, ctx, beta, intr, weight)
-    return jnp.sum(r * r)
+def data_chunk_jacobian(cfg: SuPerConfig, ctx: LMContext, chunk: DataChunk,
+                        beta, intr: Intrinsics, weight: float):
+    """Residual + per-anchor 7-dim gradient rows for one chunk.
 
-
-def data_term_jacobian(cfg: SuPerConfig, ctx: LMContext, beta,
-                       intr: Intrinsics, weight: float):
-    """Residual + per-anchor 7-dim gradient rows of the point-plane term.
-
-    Returns (r (N,), g (N, K, 7), idx (N, K), mask (N,)); rows are zeroed
-    where masked.  Parity: DataLoss.forward grad=True (loss.py:250-288).
+    Returns (r (C,), g (C, K, 7), mask (C,)); rows zeroed where masked.
+    Parity: DataLoss.forward grad=True (loss.py:250-288).
     """
+    skew_v = skew(chunk.diff)
     trans_points, jac = blend_warp_jac(
-        ctx.sf_diff, ctx.sf_knn, beta[ctx.sf_knn_idx], ctx.sf_knn_w,
-        skew_v=ctx.sf_skew)  # jac: (N, K, 3, 4), already knn_w-weighted
+        chunk.diff, chunk.knn, beta[chunk.knn_idx], chunk.knn_w,
+        skew_v=skew_v)  # jac: (C, K, 3, 4), knn_w-weighted
     new_points, new_norms, dpdpi, dndpi, mask = _project_and_sample(
-        cfg, ctx, trans_points, intr, grad=True)
+        cfg, ctx, chunk, trans_points, intr, grad=True)
 
     pt_diff = trans_points - new_points
 
@@ -178,47 +303,108 @@ def data_term_jacobian(cfg: SuPerConfig, ctx: LMContext, beta,
     zero = jnp.zeros_like(z)
     dpi = jnp.stack(
         [
-            jnp.stack([intr.fx / z, zero, -intr.fx * trans_points[..., 0] / (z * z)], axis=-1),
-            jnp.stack([zero, intr.fy / z, -intr.fy * trans_points[..., 1] / (z * z)], axis=-1),
+            jnp.stack([intr.fx / z, zero,
+                       -intr.fx * trans_points[..., 0] / (z * z)], axis=-1),
+            jnp.stack([zero, intr.fy / z,
+                       -intr.fy * trans_points[..., 1] / (z * z)], axis=-1),
         ],
         axis=-2,
-    )  # (N, 2, 3)
+    )  # (C, 2, 3)
 
-    dpdt = dpdpi @ dpi  # (N, 3, 3): d(sampled target point)/d(warped point)
-    dndt = dndpi @ dpi  # (N, 3, 3)
+    dpdt = dpdpi @ dpi  # (C, 3, 3): d(sampled target point)/d(warped point)
+    dndt = dndpi @ dpi
 
-    k = ctx.sf_knn_idx.shape[1]
-    w4 = ctx.sf_knn_w[..., None, None]  # (N, K, 1, 1)
-    dndq = dndt[:, None] @ jac  # (N, K, 3, 4)
+    w4 = chunk.knn_w[..., None, None]  # (C, K, 1, 1)
+    dndq = dndt[:, None] @ jac  # (C, K, 3, 4)
     dndq = jnp.concatenate(
-        [dndq, w4 * jnp.broadcast_to(dndt[:, None], dndq.shape[:2] + (3, 3))], axis=-1)
-    dpdq = jac - dpdt[:, None] @ jac  # (N, K, 3, 4)
+        [dndq, w4 * jnp.broadcast_to(dndt[:, None], dndq.shape[:2] + (3, 3))],
+        axis=-1)
+    dpdq = jac - dpdt[:, None] @ jac
     eye3 = jnp.eye(3, dtype=beta.dtype)
-    dpdq_b = w4 * (eye3 - dpdt[:, None])  # (N, K, 3, 3)
-    dpdq = jnp.concatenate([dpdq, dpdq_b], axis=-1)  # (N, K, 3, 7)
+    dpdq_b = w4 * (eye3 - dpdt[:, None])
+    dpdq = jnp.concatenate([dpdq, dpdq_b], axis=-1)  # (C, K, 3, 7)
 
     g = (new_norms[:, None, None, :] @ dpdq)[..., 0, :] \
-        + (pt_diff[:, None, None, :] @ dndq)[..., 0, :]  # (N, K, 7)
+        + (pt_diff[:, None, None, :] @ dndq)[..., 0, :]  # (C, K, 7)
 
     r = jnp.where(mask, weight * jnp.sum(new_norms * pt_diff, axis=-1), 0.0)
     g = jnp.where(mask[:, None, None], weight * g, 0.0)
-    return r, g, ctx.sf_knn_idx, mask
+    return r, g, mask
+
+
+def _residual_of(cfg, ctx, beta, intr, weight, xs_elem, assoc_elem):
+    if assoc_elem is None:
+        return data_chunk_residual(cfg, ctx, _chunk_view(xs_elem), beta,
+                                   intr, weight)
+    o, n, am = assoc_elem
+    return frozen_chunk_residual(_chunk_view(xs_elem), o, n, am, beta, weight)
+
+
+def data_term_residual(cfg: SuPerConfig, ctx: LMContext, beta,
+                       intr: Intrinsics, weight: float, assoc=None):
+    """Full masked residual vector (Np,) -- streamed in chunks.  Used by the
+    autodiff parity tests; the solver itself only consumes sums."""
+    chunk = _cost_chunk_size(cfg, ctx)
+    xs, nc = _chunk_xs(ctx, chunk)
+    axs = None if assoc is None else _assoc_chunk_xs(assoc, chunk)
+    if nc == 1:
+        take0 = lambda t: jax.tree.map(lambda a: a[0], t)  # noqa: E731
+        return _residual_of(cfg, ctx, beta, intr, weight, take0(xs),
+                            None if axs is None else take0(axs))
+
+    def body(_, elems):
+        xs_elem, assoc_elem = elems
+        return None, _residual_of(cfg, ctx, beta, intr, weight, xs_elem,
+                                  assoc_elem)
+
+    _, (rs, masks) = jax.lax.scan(body, None, (xs, axs))
+    return rs.reshape(-1), masks.reshape(-1)
+
+
+def data_term_cost(cfg: SuPerConfig, ctx: LMContext, beta, intr: Intrinsics,
+                   weight: float, assoc=None):
+    """Scalar cost sum((lambda * r)^2) of the point-plane term, streamed in
+    chunks (loss.py:222-248,289-290 grad=False path)."""
+    chunk = _cost_chunk_size(cfg, ctx)
+    xs, nc = _chunk_xs(ctx, chunk)
+    axs = None if assoc is None else _assoc_chunk_xs(assoc, chunk)
+    if nc == 1:
+        take0 = lambda t: jax.tree.map(lambda a: a[0], t)  # noqa: E731
+        r, _ = _residual_of(cfg, ctx, beta, intr, weight, take0(xs),
+                            None if axs is None else take0(axs))
+        return jnp.sum(r * r)
+
+    def body(acc, elems):
+        xs_elem, assoc_elem = elems
+        r, _ = _residual_of(cfg, ctx, beta, intr, weight, xs_elem, assoc_elem)
+        return acc + jnp.sum(r * r), None
+
+    total, _ = jax.lax.scan(body, jnp.asarray(0.0, beta.dtype), (xs, axs))
+    return total
+
+
+def _cost_chunk_size(cfg, ctx):
+    np_cap = ctx.sf_mask.shape[0]
+    target = cfg.solver.assembly_chunk
+    c = min(np_cap, target)
+    while np_cap % c != 0:
+        c //= 2
+    return max(c, 1)
 
 
 # ---------------------------------------------------------------------------
-# ARAP term (super/loss.py:403-455)
+# ARAP term (super/loss.py:403-455) -- graph-sized, row-major
 # ---------------------------------------------------------------------------
 
 def arap_term_residual(ctx: LMContext, beta, weight: float):
     """Masked ARAP residuals, (J, K_ed, 3)."""
-    nb_beta = beta[ctx.ed_knn_idx]  # (J, K_ed, 7) neighbor transforms
+    nb_beta = beta[ctx.ed_knn_idx]
     r = transform_quat_t(ctx.d_eds, nb_beta)
     r = r - ctx.d_eds - beta[:, None, 4:7]
     return jnp.where(ctx.ed_pair_mask[..., None], weight * r, 0.0)
 
 
 def arap_term_cost(ctx: LMContext, beta, weight: float):
-    """Scalar cost of the ARAP term (grad=False path, loss.py:428-437,455)."""
     r = arap_term_residual(ctx, beta, weight)
     return jnp.sum(r * r)
 
@@ -233,18 +419,18 @@ def arap_term_jacobian(ctx: LMContext, beta, weight: float):
     """
     nb_beta = beta[ctx.ed_knn_idx]
     tv, dq = transform_quat_t_jac(ctx.d_eds, nb_beta, skew_v=ctx.ed_skew)
-    r = tv - ctx.d_eds - beta[:, None, 4:7]  # (J, K, 3)
+    r = tv - ctx.d_eds - beta[:, None, 4:7]
 
     j_cap, k = ctx.ed_knn_idx.shape
     eye3 = jnp.broadcast_to(jnp.eye(3, dtype=beta.dtype), (j_cap, k, 3, 3))
     zeros34 = jnp.zeros((j_cap, k, 3, 4), dtype=beta.dtype)
-    g_j = jnp.concatenate([dq, eye3], axis=-1)          # (J, K, 3, 7) wrt node j
-    g_i = jnp.concatenate([zeros34, -eye3], axis=-1)    # (J, K, 3, 7) wrt node i
+    g_j = jnp.concatenate([dq, eye3], axis=-1)
+    g_i = jnp.concatenate([zeros34, -eye3], axis=-1)
     g = jnp.stack([g_j, g_i], axis=-2)                  # (J, K, 3, 2, 7)
 
     self_idx = jnp.broadcast_to(
         jnp.arange(j_cap, dtype=ctx.ed_knn_idx.dtype)[:, None], (j_cap, k))
-    idx = jnp.stack([ctx.ed_knn_idx, self_idx], axis=-1)  # (J, K, 2)
+    idx = jnp.stack([ctx.ed_knn_idx, self_idx], axis=-1)
 
     mask = ctx.ed_pair_mask
     r = jnp.where(mask[..., None], weight * r, 0.0)
@@ -268,10 +454,10 @@ def rot_term_cost(beta, active, weight: float):
 
 
 def rot_term_jacobian(beta, active, weight: float):
-    """Returns (r (J,), g (J, 7), mask)."""
     q = beta[:, 0:4]
     r = weight * (1.0 - jnp.sum(q * q, axis=-1))
-    g = jnp.concatenate([-2.0 * weight * q, jnp.zeros_like(beta[:, 4:7])], axis=-1)
+    g = jnp.concatenate([-2.0 * weight * q, jnp.zeros_like(beta[:, 4:7])],
+                        axis=-1)
     r = jnp.where(active, r, 0.0)
     g = jnp.where(active[:, None], g, 0.0)
     return r, g, active
@@ -281,8 +467,81 @@ def rot_term_jacobian(beta, active, weight: float):
 # JTJ / JTr assembly
 # ---------------------------------------------------------------------------
 
+def _jacobian_of(cfg, ctx, beta, intr, weight, xs_elem, assoc_elem):
+    if assoc_elem is None:
+        return data_chunk_jacobian(cfg, ctx, _chunk_view(xs_elem), beta,
+                                   intr, weight)
+    o, n, am = assoc_elem
+    return frozen_chunk_jacobian(_chunk_view(xs_elem), o, n, am, beta, weight)
+
+
+def _data_normal_eq_tuple(cfg, ctx, beta, intr, weight, jtj_blocks, jtr,
+                          assoc=None):
+    """Tuple-grouped MXU path: jacobian chunks -> G-block Grams -> expand."""
+    sol = cfg.solver
+    chunk = _cost_chunk_size(cfg, ctx)
+    xs, nc = _chunk_xs(ctx, chunk)
+    axs = None if assoc is None else _assoc_chunk_xs(assoc, chunk)
+    g_per = sol.assembly_pad_group
+
+    def jac_chunk(xs_elem, assoc_elem):
+        r, g, _ = _jacobian_of(cfg, ctx, beta, intr, weight, xs_elem,
+                               assoc_elem)
+        h = g.reshape(g.shape[0], -1)  # (C, 28)
+        nb = h.shape[0] // g_per
+        hb = h.reshape(nb, g_per, 28)
+        ext = jnp.concatenate([hb, r.reshape(nb, g_per, 1)], axis=-1)
+        return jnp.einsum("bgi,bgj->bij", hb, ext).reshape(nb, 28 * 29)
+
+    if nc == 1:
+        take0 = lambda t: jax.tree.map(lambda a: a[0], t)  # noqa: E731
+        partial = jac_chunk(take0(xs), None if axs is None else take0(axs))
+    else:
+        _, parts = jax.lax.scan(lambda c, e: (c, jac_chunk(*e)), None,
+                                (xs, axs))
+        partial = parts.reshape(-1, 28 * 29)
+
+    t_cap = ctx.layout.tuple_nodes.shape[0]
+    acc = jnp.zeros((t_cap, 28 * 29), dtype=beta.dtype).at[
+        ctx.layout.block_tuple].add(partial)
+    acc = acc.reshape(t_cap, 28, 29)
+    return assembly.expand_to_blocks(ctx.layout, acc[..., :28], acc[..., 28],
+                                     jtj_blocks, jtr)
+
+
+def _data_normal_eq_scatter(cfg, ctx, beta, intr, weight, jtj_blocks, jtr,
+                            assoc=None):
+    """Direct scatter-add path (reference semantics; slow on TPU)."""
+    chunk = _cost_chunk_size(cfg, ctx)
+    xs, nc = _chunk_xs(ctx, chunk)
+    axs = None if assoc is None else _assoc_chunk_xs(assoc, chunk)
+
+    def accumulate(carry, xs_elem, assoc_elem):
+        jtj_b, jtr_b = carry
+        cv = _chunk_view(xs_elem)
+        r, g, _ = _jacobian_of(cfg, ctx, beta, intr, weight, xs_elem,
+                               assoc_elem)
+        k = cv.knn_idx.shape[1]
+        for a in range(k):
+            jtr_b = jtr_b.at[cv.knn_idx[:, a]].add(-g[:, a, :] * r[:, None])
+            for b_ in range(k):
+                blk = g[:, a, :, None] * g[:, b_, None, :]
+                jtj_b = jtj_b.at[cv.knn_idx[:, a], cv.knn_idx[:, b_]].add(blk)
+        return (jtj_b, jtr_b), None
+
+    if nc == 1:
+        take0 = lambda t: jax.tree.map(lambda a: a[0], t)  # noqa: E731
+        (jtj_blocks, jtr), _ = accumulate(
+            (jtj_blocks, jtr), take0(xs), None if axs is None else take0(axs))
+    else:
+        (jtj_blocks, jtr), _ = jax.lax.scan(
+            lambda c, e: accumulate(c, e[0], e[1]), (jtj_blocks, jtr),
+            (xs, axs))
+    return jtj_blocks, jtr
+
+
 def assemble_normal_equations(cfg: SuPerConfig, ctx: LMContext, beta,
-                              intr: Intrinsics, axis_name=None):
+                              intr: Intrinsics, axis_name=None, assoc=None):
     """Build (JTJ, JTr) = (sum_r J_r^T J_r, -sum_r J_r^T r) over all enabled
     derived-gradient terms.  Parity: LM_Solver.prepareCostTerm grad=True
     (super/LM.py:54-68) + prepare_jtj_jtl (loss.py:199-205).
@@ -302,65 +561,17 @@ def assemble_normal_equations(cfg: SuPerConfig, ctx: LMContext, beta,
     if axis_name is None:
         graph_scale = 1.0
     else:
-        # Graph terms are replicated across shards; scale g and r by
-        # n^-1/2 so the psum of (g g^T, g r) is exact.
         graph_scale = jax.lax.rsqrt(
             jax.lax.psum(jnp.asarray(1.0, beta.dtype), axis_name))
 
-    if losses.sf_point_plane and ctx.layout is not None:
-        # Tuple-grouped MXU assembly (see core/assembly.py).
-        sol = cfg.solver
-        r, g, _, _ = data_term_jacobian(cfg, ctx, beta, intr,
-                                        losses.sf_point_plane_weight)
-        h = g.reshape(g.shape[0], -1)  # (Np, 28)
-        gram, jtr_t = assembly.tuple_reduce(
-            ctx.layout, h, r, chunk=sol.assembly_tuple_chunk,
-            local=sol.assembly_local)
-        jtj_blocks, jtr = assembly.expand_to_blocks(
-            ctx.layout, gram, jtr_t, jtj_blocks, jtr)
-    elif losses.sf_point_plane:
+    if losses.sf_point_plane:
         weight = losses.sf_point_plane_weight
-        n = ctx.sf_mask.shape[0]
-        chunk = cfg.solver.assembly_chunk
-        num_chunks = max(1, -(-n // chunk))
-        if n % num_chunks != 0:
-            num_chunks = 1  # fall back to one pass if capacity isn't divisible
-
-        def accumulate(carry, cctx):
-            jtj_b, jtr_b = carry
-            r, g, idx, _ = data_term_jacobian(cfg, cctx, beta, intr, weight)
-            k = idx.shape[1]
-            for a in range(k):
-                jtr_b = jtr_b.at[idx[:, a]].add(-g[:, a, :] * r[:, None])
-                for b_ in range(k):
-                    blk = g[:, a, :, None] * g[:, b_, None, :]  # (C, 7, 7)
-                    jtj_b = jtj_b.at[idx[:, a], idx[:, b_]].add(blk)
-            return (jtj_b, jtr_b), None
-
-        if num_chunks == 1:
-            (jtj_blocks, jtr), _ = accumulate((jtj_blocks, jtr), ctx)
+        if ctx.layout is not None:
+            jtj_blocks, jtr = _data_normal_eq_tuple(
+                cfg, ctx, beta, intr, weight, jtj_blocks, jtr, assoc=assoc)
         else:
-            # Stream the surfel dimension in chunks (bounded peak memory:
-            # the (C, K, 3, 7) chain-rule temporaries exist one chunk at a
-            # time instead of for all N surfel slots).
-            def split(x):
-                return x.reshape((num_chunks, n // num_chunks) + x.shape[1:])
-
-            chunked = ctx._replace(
-                sf_mask=split(ctx.sf_mask), sf_knn_idx=split(ctx.sf_knn_idx),
-                sf_knn_w=split(ctx.sf_knn_w), sf_knn=split(ctx.sf_knn),
-                sf_diff=split(ctx.sf_diff), sf_skew=split(ctx.sf_skew))
-
-            def body(carry, sl):
-                cctx = ctx._replace(
-                    sf_mask=sl[0], sf_knn_idx=sl[1], sf_knn_w=sl[2],
-                    sf_knn=sl[3], sf_diff=sl[4], sf_skew=sl[5])
-                return accumulate(carry, cctx)
-
-            (jtj_blocks, jtr), _ = jax.lax.scan(
-                body, (jtj_blocks, jtr),
-                (chunked.sf_mask, chunked.sf_knn_idx, chunked.sf_knn_w,
-                 chunked.sf_knn, chunked.sf_diff, chunked.sf_skew))
+            jtj_blocks, jtr = _data_normal_eq_scatter(
+                cfg, ctx, beta, intr, weight, jtj_blocks, jtr, assoc=assoc)
 
     if losses.mesh_arap:
         r, g, idx, _ = arap_term_jacobian(ctx, beta, losses.mesh_arap_weight)
@@ -370,7 +581,7 @@ def assemble_normal_equations(cfg: SuPerConfig, ctx: LMContext, beta,
         g2 = g.reshape(jk, 3, 2, 7)
         idx2 = idx.reshape(jk, 2)
         for a in range(2):
-            ga = g2[:, :, a, :]  # (JK, 3, 7)
+            ga = g2[:, :, a, :]
             jtr = jtr.at[idx2[:, a]].add(-jnp.einsum("rci,rc->ri", ga, r2))
             for b in range(2):
                 gb = g2[:, :, b, :]
@@ -393,7 +604,7 @@ def assemble_normal_equations(cfg: SuPerConfig, ctx: LMContext, beta,
 
 
 def total_cost(cfg: SuPerConfig, ctx: LMContext, beta, intr: Intrinsics,
-               axis_name=None):
+               axis_name=None, assoc=None):
     """Scalar objective used by the LM accept/reject test
     (LM_Solver.prepareCostTerm grad=False, super/LM.py:70-78)."""
     losses = cfg.losses
@@ -404,9 +615,11 @@ def total_cost(cfg: SuPerConfig, ctx: LMContext, beta, intr: Intrinsics,
         inv_n = 1.0 / jax.lax.psum(jnp.asarray(1.0, beta.dtype), axis_name)
     if losses.sf_point_plane:
         total = total + data_term_cost(cfg, ctx, beta, intr,
-                                       losses.sf_point_plane_weight)
+                                       losses.sf_point_plane_weight,
+                                       assoc=assoc)
     if losses.mesh_arap:
-        total = total + inv_n * arap_term_cost(ctx, beta, losses.mesh_arap_weight)
+        total = total + inv_n * arap_term_cost(ctx, beta,
+                                               losses.mesh_arap_weight)
     if losses.mesh_rot:
         total = total + inv_n * rot_term_cost(beta, ctx.ed_mask,
                                               losses.mesh_rot_weight)

@@ -1,0 +1,219 @@
+"""Autograd warp-field optimization (reference GraphFit, super/deform_mesh.py).
+
+The reference's default solver: the deformation ``deform_verts`` in
+R^{(J+1) x 7} (last row = global rigid transform T_g, deform_mesh.py:268-270)
+is fit by SGD (momentum 0.9) or Adam on the autograd faces of the losses:
+
+- point-plane ICP (DataLoss.autograd_forward, loss.py:292-401) with optional
+  hard/soft semantic weighting and Huber-style reweighting,
+- ARAP with knn_w weighting (loss.py:457-473),
+- Rot over all rows incl. T_g (loss.py:501-505),
+- triangle face-area preservation (deform_mesh.py:51-60),
+- (render / sf_corr / bn_morph faces live in super_tpu.core.semantic and
+  super_tpu.render integrations).
+
+TPU notes: the per-surfel data term streams through the same chunked scans
+as the LM path; ``jax.grad`` differentiates through the scan; the T_g row's
+gradient is scaled by 1/J before the update (deform_mesh.py:326).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from super_tpu.config import SuPerConfig
+from super_tpu.core.losses import LMContext, _chunk_xs, _chunk_view, \
+    _cost_chunk_size
+from super_tpu.core.state import FrameData, GraphState, SurfelState
+from super_tpu.geometry.camera import Intrinsics, project_points
+from super_tpu.geometry.divergence import jsd
+from super_tpu.geometry.quaternion import blend_warp, transform_quat_t
+from super_tpu.ops.bilinear import bilinear_sample_two, bilinear_sample_indexed
+
+
+class AutogradContext(NamedTuple):
+    """Frame constants for the autograd fit (built via prepare_lm's scatter
+    mode + semantic extras)."""
+
+    base: LMContext
+    sf_seg: jnp.ndarray        # (Np,) int32
+    sf_seg_conf: jnp.ndarray   # (C, Np)
+    trg_seg_conf: jnp.ndarray  # (C, P)
+    num_active_nodes: jnp.ndarray  # ()
+
+
+def prepare_autograd(cfg: SuPerConfig, surfels: SurfelState,
+                     graph: GraphState, frame: FrameData) -> AutogradContext:
+    import dataclasses
+
+    from super_tpu.core.losses import prepare_lm
+
+    cfg_s = cfg.replace(solver=dataclasses.replace(cfg.solver,
+                                                   assembly_mode="scatter"))
+    base = prepare_lm(cfg_s, surfels, graph, frame)
+    return AutogradContext(
+        base=base,
+        sf_seg=surfels.seg,
+        sf_seg_conf=surfels.seg_conf,
+        trg_seg_conf=frame.seg_conf,
+        num_active_nodes=jnp.maximum(graph.num_active, 1),
+    )
+
+
+def _warp_all(cfg, ctx: LMContext, deform):
+    """deform_source parity (deform_mesh.py:198-230): per-node blend warp
+    then the full global transform.  Returns warped surfels (Np, 3) in
+    chunked row-major pieces concatenated feature-major (3, Np)."""
+    node_beta = deform[:-1]
+    t_g = deform[-1]
+    chunk = _cost_chunk_size(cfg, ctx)
+    xs, nc = _chunk_xs(ctx, chunk)
+
+    def one(xs_elem):
+        cv = _chunk_view(xs_elem)
+        warped = blend_warp(cv.diff, cv.knn, node_beta[cv.knn_idx], cv.knn_w)
+        warped = transform_quat_t(warped, t_g[0:4]) + t_g[4:7]
+        return warped.T  # (3, C)
+
+    if nc == 1:
+        return one(jax.tree.map(lambda a: a[0], xs))
+    _, ys = jax.lax.scan(lambda c, x: (c, one(x)), None, xs)
+    return jnp.moveaxis(ys, 0, 1).reshape(3, -1)
+
+
+def point_plane_autograd(cfg: SuPerConfig, ctx: AutogradContext, deform,
+                         intr: Intrinsics):
+    """DataLoss.autograd_forward point-plane mode (loss.py:292-401).
+
+    Optional semantic weighting: hard (same-class indicator) or soft
+    (exp(-0.1 JSD) between source confs and the softmaxed sampled target
+    confs), combined geometrically; weights are stop-gradiented like the
+    reference's .detach().
+    """
+    base = ctx.base
+    losses = cfg.losses
+    seg_icp = losses.sf_hard_seg_point_plane or losses.sf_soft_seg_point_plane
+    warped = _warp_all(cfg, base, deform)       # (3, Np)
+    h, w = cfg.height, cfg.width
+    v, u, _, valid = project_points(warped, intr, h, w, valid_margin=1)
+    mask = base.sf_mask & valid
+
+    o, n, svalid, _, _ = bilinear_sample_two(
+        base.trg_points, base.trg_norms, base.trg_index_map, v, u)
+    mask = mask & svalid
+    r = jnp.sum(n * (warped.T - o), axis=-1)
+    sq = jnp.where(mask, r * r, 0.0)
+
+    weights = None
+    if seg_icp:
+        tconf, cvalid, _ = bilinear_sample_indexed(
+            ctx.trg_seg_conf, base.trg_index_map, v, u)   # (Np, C)
+        tconf = jax.nn.softmax(tconf, axis=-1)
+        if losses.sf_soft_seg_point_plane:
+            div = jsd(ctx.sf_seg_conf.T, tconf)
+            weights = jnp.exp(-0.1 * div)
+        else:
+            t_seg = jnp.argmax(tconf, axis=-1)
+            weights = (ctx.sf_seg == t_seg).astype(sq.dtype)
+        weights = jax.lax.stop_gradient(jnp.where(mask & cvalid, weights, 0.0))
+    if weights is not None:
+        sq = sq * weights
+    return jnp.sum(sq)
+
+
+def arap_autograd(graph: GraphState, ctx: LMContext, deform):
+    """knn_w-weighted ARAP (ARAPLoss.autograd_forward, loss.py:457-473)."""
+    beta = deform[:-1]
+    nb = beta[ctx.ed_knn_idx]
+    r = transform_quat_t(ctx.d_eds, nb)
+    r = r - ctx.d_eds - beta[:, None, 4:7]
+    r = jnp.where(ctx.ed_pair_mask[..., None], r, 0.0)
+    return jnp.sum(graph.knn_w * jnp.sum(r * r, axis=-1))
+
+
+def rot_autograd(deform, active):
+    """(1 - |q|^2)^2 over node rows + the global row (loss.py:501-505)."""
+    q = deform[:, 0:4]
+    r = 1.0 - jnp.sum(q * q, axis=-1)
+    gate = jnp.concatenate([active, jnp.ones((1,), dtype=bool)])
+    return jnp.sum(jnp.where(gate, r * r, 0.0))
+
+
+def face_autograd(graph: GraphState, deform):
+    """Triangle-area preservation (deform_mesh.py:51-60), on warped nodes."""
+    beta = deform[:-1]
+    t_g = deform[-1]
+    new_nodes = graph.points + beta[:, 4:7]
+    new_nodes = transform_quat_t(new_nodes, t_g[0:4]) + t_g[4:7]
+    t = graph.triangles
+    cross = jnp.cross(new_nodes[t[:, 1]] - new_nodes[t[:, 0]],
+                      new_nodes[t[:, 2]] - new_nodes[t[:, 0]])
+    areas = 0.5 * jnp.sqrt(jnp.sum(cross * cross, axis=1) + 1e-13)
+    d = jnp.where(graph.tri_active, areas - graph.tri_areas, 0.0)
+    return jnp.sum(d * d)
+
+
+def autograd_total(cfg: SuPerConfig, ctx: AutogradContext,
+                   graph: GraphState, deform, intr: Intrinsics
+                   ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Sum of enabled autograd losses (GraphFit.get_losses,
+    deform_mesh.py:25-196; render/corr/morph faces integrate separately)."""
+    losses = cfg.losses
+    parts = {}
+    total = jnp.asarray(0.0, jnp.float32)
+    seg_icp = losses.sf_hard_seg_point_plane or losses.sf_soft_seg_point_plane
+    if losses.sf_point_plane or seg_icp:
+        parts["point_plane"] = losses.sf_point_plane_weight * \
+            point_plane_autograd(cfg, ctx, deform, intr)
+        total = total + parts["point_plane"]
+    if losses.mesh_arap:
+        parts["arap"] = losses.mesh_arap_weight * arap_autograd(
+            graph, ctx.base, deform)
+        total = total + parts["arap"]
+    if losses.mesh_rot:
+        parts["rot"] = losses.mesh_rot_weight * rot_autograd(
+            deform, ctx.base.ed_mask)
+        total = total + parts["rot"]
+    if losses.mesh_face:
+        parts["face"] = losses.mesh_face_weight * face_autograd(graph, deform)
+        total = total + parts["face"]
+    return total, parts
+
+
+def graph_fit(cfg: SuPerConfig, surfels: SurfelState, graph: GraphState,
+              frame: FrameData, intr: Intrinsics):
+    """Run the autograd fit; returns (deform (J+1, 7), final loss).
+
+    Parity: GraphFit.deform_superedg (deform_mesh.py:251-378): Niter steps
+    of SGD(momentum 0.9)/Adam with the T_g gradient scaled by 1/J.
+    """
+    ctx = prepare_autograd(cfg, surfels, graph, frame)
+    j_cap = graph.capacity
+    deform0 = jnp.tile(jnp.array([1.0, 0, 0, 0, 0, 0, 0], jnp.float32)[None],
+                       (j_cap + 1, 1))
+
+    if cfg.solver.optimizer == "Adam":
+        opt = optax.adam(cfg.solver.learning_rate)
+    else:
+        opt = optax.sgd(cfg.solver.learning_rate, momentum=0.9)
+    opt_state0 = opt.init(deform0)
+
+    loss_fn = lambda d: autograd_total(cfg, ctx, graph, d, intr)[0]  # noqa: E731
+    grad_fn = jax.value_and_grad(loss_fn)
+
+    def body(_, carry):
+        deform, opt_state, _ = carry
+        loss, grads = grad_fn(deform)
+        grads = grads.at[-1].set(grads[-1] / ctx.num_active_nodes)
+        updates, opt_state = opt.update(grads, opt_state, deform)
+        deform = optax.apply_updates(deform, updates)
+        return deform, opt_state, loss
+
+    deform, _, loss = jax.lax.fori_loop(
+        0, cfg.solver.num_iterations, body,
+        (deform0, opt_state0, jnp.asarray(0.0, jnp.float32)))
+    return deform, loss

@@ -1,6 +1,7 @@
 """Depth-map -> surfel-candidate preprocessing (reference: utils/data_loader.py:333-523).
 
-Dense, pixel-indexed, jit-compiled: every map stays (H, W); validity is a
+Dense, pixel-indexed, jit-compiled: every map stays (H, W) (channel-first
+(3, H, W) for vector fields -- see core/state.py layout rule); validity is a
 mask.  NaNs are used *internally* exactly where the reference uses them
 (invalid depth propagates through backprojection and normal estimation),
 then converted to (mask, zeros) at the FrameData boundary so downstream
@@ -21,7 +22,6 @@ from __future__ import annotations
 
 import functools
 import math
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -42,53 +42,60 @@ def disp_to_depth(disp, min_depth: float, max_depth: float):
     return scaled_disp, 1.0 / scaled_disp
 
 
-def normals_naive(points):
-    """Central-difference normals of an (H, W, 3) vertex map.
+def _pad_nan(x):
+    """Pad the trailing two (spatial) dims by 1 with NaN."""
+    cfgpad = [(0, 0)] * (x.ndim - 2) + [(1, 1), (1, 1)]
+    return jnp.pad(x, cfgpad, constant_values=jnp.nan)
 
-    N = normalize((right - left) x (up - down)); NaN where any neighbor is
+
+def _shift(p, dy, dx):
+    """View of the padded (., H+2, W+2) array shifted by (dy, dx)."""
+    h = p.shape[-2] - 2
+    w = p.shape[-1] - 2
+    return p[..., 1 + dy:1 + dy + h, 1 + dx:1 + dx + w]
+
+
+def normals_naive(points):
+    """Central-difference normals of a (3, H, W) vertex map.
+
+    N = normalize((right - left) x (down - up)); NaN where any neighbor is
     missing.  Parity: data_loader.py:532-544 (``getN`` without colors).
-    Returns (norms (H, W, 3), valid (H, W)).
+    Returns (norms (3, H, W), valid (H, W)).
     """
-    p = jnp.pad(points, ((1, 1), (1, 1), (0, 0)), constant_values=jnp.nan)
-    h_l = p[1:-1, :-2]
-    h_r = p[1:-1, 2:]
-    h_d = p[:-2, 1:-1]
-    h_u = p[2:, 1:-1]
-    n = jnp.cross(h_r - h_l, h_d - h_u)
-    n = n / jnp.linalg.norm(n, axis=-1, keepdims=True)
-    valid = ~jnp.any(jnp.isnan(n), axis=-1)
-    return jnp.where(valid[..., None], n, 0.0), valid
+    p = _pad_nan(points)
+    n = jnp.cross(_shift(p, 0, 1) - _shift(p, 0, -1),
+                  _shift(p, -1, 0) - _shift(p, 1, 0), axis=0)
+    n = n / jnp.linalg.norm(n, axis=0, keepdims=True)
+    valid = ~jnp.any(jnp.isnan(n), axis=0)
+    return jnp.where(valid[None], n, 0.0), valid
 
 
 def normals_8neighbors(points, colors):
     """Color-weighted 8-neighbor normals (data_loader.py:546-583).
 
-    Each neighbor displacement is scaled by exp(-mean|dcolor|); the normal is
-    the sum of cross products of consecutive scaled displacements.
+    Each neighbor displacement is scaled by exp(-mean|dcolor|); the normal
+    is the sum of cross products of consecutive scaled displacements.
+    points/colors: (3, H, W).
     """
-    cp = jnp.pad(colors, ((1, 1), (1, 1), (0, 0)), constant_values=jnp.nan)
-    pp = jnp.pad(points, ((1, 1), (1, 1), (0, 0)), constant_values=jnp.nan)
-
-    def shift(arr, dy, dx):
-        return arr[1 + dy:arr.shape[0] - 1 + dy, 1 + dx:arr.shape[1] - 1 + dx]
-
-    cen_c = shift(cp, 0, 0)
-    cen_p = shift(pp, 0, 0)
+    cp = _pad_nan(colors)
+    pp = _pad_nan(points)
+    cen_c = _shift(cp, 0, 0)
+    cen_p = _shift(pp, 0, 0)
     # Neighbor order mirrors the reference: L, LU, U, RU, R, RD, D, DL.
     offsets = [(0, -1), (-1, -1), (-1, 0), (-1, 1), (0, 1), (1, 1), (1, 0), (1, -1)]
     disps = []
     for dy, dx in offsets:
-        w = jnp.exp(-jnp.mean(jnp.abs(shift(cp, dy, dx) - cen_c), axis=-1, keepdims=True))
-        disps.append((shift(pp, dy, dx) - cen_p) * w)
-    # N = sum_i cross(d_i, sum_{j>i} d_j) over the 7 leading neighbors.
+        wgt = jnp.exp(-jnp.mean(jnp.abs(_shift(cp, dy, dx) - cen_c),
+                                axis=0, keepdims=True))
+        disps.append((_shift(pp, dy, dx) - cen_p) * wgt)
     suffix = disps[-1]
     acc = jnp.zeros_like(cen_p)
     for i in range(len(disps) - 2, -1, -1):
-        acc = acc + jnp.cross(disps[i], suffix)
+        acc = acc + jnp.cross(disps[i], suffix, axis=0)
         suffix = suffix + disps[i]
-    n = acc / jnp.linalg.norm(acc, axis=-1, keepdims=True)
-    valid = ~jnp.any(jnp.isnan(n), axis=-1)
-    return jnp.where(valid[..., None], n, 0.0), valid
+    n = acc / jnp.linalg.norm(acc, axis=0, keepdims=True)
+    valid = ~jnp.any(jnp.isnan(n), axis=0)
+    return jnp.where(valid[None], n, 0.0), valid
 
 
 def chamfer_distance_transform(mask, step_x: float, step_y: float,
@@ -164,7 +171,7 @@ def preprocess_frame(
     cfg: SuPerConfig,
     intr: Intrinsics,
     depth,                      # (H, W) float depth (NaN/0 = missing)
-    color,                      # (H, W, 3) float RGB in [0, 1]
+    color,                      # (3, H, W) float RGB in [0, 1]
     time,                       # scalar frame time
     seg=None,                   # (H, W) int labels, optional
     seg_conf=None,              # (C, H, W) raw class scores, optional
@@ -177,17 +184,17 @@ def preprocess_frame(
     inval = compute_invalid_mask(cfg, depth, seg=seg, valid_mask=valid_mask)
     depth = jnp.where(inval, jnp.nan, depth)
 
-    points = backproject_depth(depth, intr)  # (H, W, 3), NaN propagates
+    points = backproject_depth(depth, intr)  # (3, H, W), NaN propagates
     if cfg.normal_model == "naive":
         norms, nvalid = normals_naive(points)
     else:
         norms, nvalid = normals_8neighbors(points, color)
-    valid = nvalid & ~jnp.any(jnp.isnan(points), axis=-1)
+    valid = nvalid & ~jnp.any(jnp.isnan(points), axis=0)
 
     # Radius r = |Z| / (sqrt(2) fx clamp(|n_z|, 0.26, 1))  (data_loader.py:467-469;
     # the reference's sign flip on Z for superv1 is dropped -- the sign is
     # consistent and unused downstream).
-    nz = jnp.clip(jnp.abs(norms[..., 2]), 0.26, 1.0)
+    nz = jnp.clip(jnp.abs(norms[2]), 0.26, 1.0)
     radii = jnp.abs(depth) / (jnp.sqrt(2.0) * intr.fx * nz)
 
     # Center-weighted confidence (data_loader.py:471-475).
@@ -201,13 +208,13 @@ def preprocess_frame(
     c = cfg.num_classes
     if seg is None:
         seg_flat = jnp.zeros((h * w,), dtype=jnp.int32)
-        seg_conf_flat = jnp.zeros((h * w, c), dtype=jnp.float32)
+        seg_conf_flat = jnp.zeros((c, h * w), dtype=jnp.float32)
         dist2edge = jnp.zeros((h * w,), dtype=jnp.float32)
     else:
         seg_flat = seg.reshape(-1).astype(jnp.int32)
         sc = jax.nn.softmax(seg_conf, axis=0) if seg_conf is not None else \
-            jax.nn.one_hot(seg, c).transpose(2, 0, 1)
-        seg_conf_flat = sc.transpose(1, 2, 0).reshape(-1, c)
+            jax.nn.one_hot(seg, c, axis=0)
+        seg_conf_flat = sc.reshape(c, -1)
         # dist2edge: normalized-coordinate distance to own-class boundary
         # (data_loader.py:498-518), via chamfer DT per class.
         d2e = jnp.zeros((h, w), dtype=jnp.float32)
@@ -217,12 +224,11 @@ def preprocess_frame(
             d2e = jnp.where(seg == cid, dt, d2e)
         dist2edge = d2e.reshape(-1)
 
-    zero3 = jnp.zeros((h * w, 3), dtype=jnp.float32)
     vflat = valid.reshape(-1)
     return FrameData(
-        points=jnp.where(vflat[:, None], points.reshape(-1, 3), zero3),
-        norms=jnp.where(vflat[:, None], norms.reshape(-1, 3), zero3),
-        colors=color.reshape(-1, 3),
+        points=jnp.where(vflat[None, :], points.reshape(3, -1), 0.0),
+        norms=jnp.where(vflat[None, :], norms.reshape(3, -1), 0.0),
+        colors=color.reshape(3, -1),
         radii=jnp.where(vflat, radii.reshape(-1), 0.0),
         confs=confs.reshape(-1),
         valid=vflat,

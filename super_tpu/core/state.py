@@ -1,4 +1,4 @@
-"""Fixed-capacity, mask-carried state pytrees.
+"""Fixed-capacity, mask-carried state pytrees (feature-major layout).
 
 The reference keeps the surfel map as a mutable Python object whose tensors
 grow/shrink every frame (super/nodes.py:36-152).  On TPU, dynamic shapes force
@@ -7,6 +7,14 @@ with an ``active`` mask; fusion adds surfels into free slots and pruning just
 clears mask bits.  A pleasant consequence: surfel slot ids are *stable* across
 frames, so tracked-point ids never need the remapping dance of
 ``prepareStableIndexNSwapAllModel`` (super/nodes.py:577-580).
+
+LAYOUT RULE (load-bearing for HBM footprint): TPU tiles pad the last two
+dimensions of every materialized buffer to (8, 128).  A row-major point
+array ``(N, 3)`` therefore occupies 42x its logical size; at N ~ 4e5 that
+is ~250 MB *per array*.  All large per-surfel arrays here are stored
+feature-major -- ``(3, N)``, ``(K, N)``, ``(C, N)`` -- which pads the small
+axis 3 -> 8 (2.7x worst case) instead of the minor axis 3 -> 128.  The ED
+graph (J <= a few thousand) stays row-major; its padding is bytes.
 
 All states are NamedTuples (pytrees): they flow through ``jax.jit``,
 ``lax.scan``, ``vmap`` (stream axis) and ``shard_map`` unchanged.
@@ -24,7 +32,7 @@ from super_tpu.config import SuPerConfig
 class GraphState(NamedTuple):
     """Embedded-deformation graph (reference: super/graph_encoder.py Data).
 
-    Capacities: J nodes, E edges, T triangles (config.capacity.*).
+    Row-major: J is small, tile padding is negligible.
     """
 
     points: jnp.ndarray        # (J, 3) node positions g_i
@@ -57,25 +65,25 @@ class GraphState(NamedTuple):
 
 
 class SurfelState(NamedTuple):
-    """Surfel map (reference: super/nodes.py:37-91 attribute list)."""
+    """Surfel map, feature-major (reference: super/nodes.py:37-91)."""
 
-    points: jnp.ndarray      # (N, 3)
-    norms: jnp.ndarray       # (N, 3)
-    colors: jnp.ndarray      # (N, 3)
+    points: jnp.ndarray      # (3, N)
+    norms: jnp.ndarray       # (3, N)
+    colors: jnp.ndarray      # (3, N)
     radii: jnp.ndarray       # (N,)
     confs: jnp.ndarray       # (N,)
     time_stamp: jnp.ndarray  # (N,) last-update frame time
     active: jnp.ndarray      # (N,) bool ("isStable" in the reference)
-    knn_idx: jnp.ndarray     # (N, K) anchor ED node ids
-    knn_w: jnp.ndarray       # (N, K) anchor weights
-    proj_uv: jnp.ndarray     # (N, 2) last screen-space (u, v) ("projdata")
+    knn_idx: jnp.ndarray     # (K, N) anchor ED node ids
+    knn_w: jnp.ndarray       # (K, N) anchor weights
+    proj_uv: jnp.ndarray     # (2, N) last screen-space (u, v) ("projdata")
     seg: jnp.ndarray         # (N,) int32
-    seg_conf: jnp.ndarray    # (N, C)
+    seg_conf: jnp.ndarray    # (C, N)
     dist2edge: jnp.ndarray   # (N,) distance to own-class semantic boundary
 
     @property
     def capacity(self) -> int:
-        return self.points.shape[0]
+        return self.points.shape[-1]
 
     @property
     def num_active(self):
@@ -86,6 +94,7 @@ class TrackState(NamedTuple):
     """Tracked GT control points (reference: super/nodes.py:48-52,225-265).
 
     track_id semantics: -1 not yet tracking, -2 lost, >=0 stable surfel slot.
+    (P ~ 20: row-major is fine.)
     """
 
     track_id: jnp.ndarray    # (P,) int32
@@ -103,7 +112,8 @@ class TrackerState(NamedTuple):
 
 
 class FrameData(NamedTuple):
-    """Per-frame surfel candidates, *pixel-indexed* (P = H*W slots).
+    """Per-frame surfel candidates, *pixel-indexed* (P = H*W slots),
+    feature-major.
 
     The reference compacts valid pixels to a ragged (N, .) array plus an
     ``index_map`` back-pointer (utils/data_loader.py:461-518).  Keeping the
@@ -111,17 +121,17 @@ class FrameData(NamedTuple):
     and removes every compaction from the hot path.
     """
 
-    points: jnp.ndarray      # (P, 3)
-    norms: jnp.ndarray       # (P, 3)
-    colors: jnp.ndarray      # (P, 3)
+    points: jnp.ndarray      # (3, P)
+    norms: jnp.ndarray       # (3, P)
+    colors: jnp.ndarray      # (3, P)
     radii: jnp.ndarray       # (P,)
     confs: jnp.ndarray       # (P,)
     valid: jnp.ndarray       # (P,) bool
     seg: jnp.ndarray         # (P,) int32
-    seg_conf: jnp.ndarray    # (P, C)
+    seg_conf: jnp.ndarray    # (C, P)
     dist2edge: jnp.ndarray   # (P,)
     time: jnp.ndarray        # ()
-    color_image: jnp.ndarray  # (H, W, 3) raw RGB (for viz / render losses)
+    color_image: jnp.ndarray  # (3, H, W) raw RGB (for viz / render losses)
 
     def index_map(self, height: int, width: int):
         """(H, W) int32 pixel -> candidate id, -1 where invalid."""
@@ -135,12 +145,12 @@ def empty_surfels(cfg: SuPerConfig, dtype=jnp.float32) -> SurfelState:
     c = cfg.num_classes
     z = lambda *s: jnp.zeros(s, dtype=dtype)  # noqa: E731
     return SurfelState(
-        points=z(n, 3), norms=z(n, 3), colors=z(n, 3),
+        points=z(3, n), norms=z(3, n), colors=z(3, n),
         radii=z(n), confs=z(n), time_stamp=z(n),
         active=jnp.zeros((n,), dtype=bool),
-        knn_idx=jnp.zeros((n, k), dtype=jnp.int32),
-        knn_w=z(n, k), proj_uv=z(n, 2),
-        seg=jnp.zeros((n,), dtype=jnp.int32), seg_conf=z(n, c),
+        knn_idx=jnp.zeros((k, n), dtype=jnp.int32),
+        knn_w=z(k, n), proj_uv=z(2, n),
+        seg=jnp.zeros((n,), dtype=jnp.int32), seg_conf=z(c, n),
         dist2edge=z(n),
     )
 
@@ -171,3 +181,29 @@ def empty_track(cfg: SuPerConfig, dtype=jnp.float32) -> TrackState:
         coords=jnp.zeros((p, 2), dtype=dtype),
         coord_valid=jnp.zeros((p,), dtype=bool),
     )
+
+
+# ---------------------------------------------------------------------------
+# Feature-major helpers
+# ---------------------------------------------------------------------------
+
+def gather_rows(fm_array, idx):
+    """Gather columns of a feature-major (F, N) array by an index array of
+    any shape, channel-wise (rank-1 gathers; no padded intermediates).
+
+    Returns shape (F,) + idx.shape.
+    """
+    return jnp.stack([fm_array[f][idx] for f in range(fm_array.shape[0])])
+
+
+def scatter_set_rows(fm_array, idx, values, do=None):
+    """Set columns of a feature-major (F, N) array at ``idx`` (any shape)
+    to ``values`` ((F,) + idx.shape), optionally gated by ``do`` (idx.shape).
+    Channel-wise rank-1 scatters; out-of-range indices are dropped."""
+    out = []
+    for f in range(fm_array.shape[0]):
+        v = values[f]
+        if do is not None:
+            v = jnp.where(do, v, fm_array[f][jnp.clip(idx, 0, fm_array.shape[1] - 1)])
+        out.append(fm_array[f].at[idx].set(v, mode="drop"))
+    return jnp.stack(out)

@@ -39,8 +39,9 @@ def assign_track_points(cfg: SuPerConfig, surfels: SurfelState,
         tid, xy, gv = inp
         pix = jnp.clip(xy[1] * w + xy[0], 0, frame.valid.shape[0] - 1)
         cand_ok = frame.valid[pix] & (pix > 0)
-        target = frame.points[pix]
-        d = jnp.linalg.norm(surfels.points - target[None, :], axis=1)
+        target = frame.points[:, pix]  # (3,)
+        d = jnp.sqrt(sum((surfels.points[c] - target[c]) ** 2
+                         for c in range(3)))
         d = jnp.where(surfels.active & ~used, d, jnp.inf)
         best = jnp.argmin(d)
         assign = (tid == -1) & gv & cand_ok & (d[best] < th)
@@ -56,6 +57,6 @@ def assign_track_points(cfg: SuPerConfig, surfels: SurfelState,
 def record_track_coords(surfels: SurfelState, track: TrackState) -> TrackState:
     """Store current screen coords of tracked surfels (nodes.py:251-265)."""
     tid = jnp.clip(track.track_id, 0, surfels.capacity - 1)
-    coords = surfels.proj_uv[tid]
+    coords = surfels.proj_uv[:, tid].T  # (P, 2)
     valid = track.track_id >= 0
     return track._replace(coords=coords, coord_valid=valid)

@@ -46,12 +46,12 @@ def init_surfels_from_frame(cfg: SuPerConfig, graph: GraphState,
     so frame-0 ``index_map`` lookups are identities.
     """
     n = cfg.capacity.surfel_capacity
-    p = frame.points.shape[0]
+    p = frame.points.shape[-1]
     if n < p:
         raise ValueError(f"surfel_capacity {n} < pixel count {p}")
 
     def pad(x):
-        cfgpad = [(0, n - p)] + [(0, 0)] * (x.ndim - 1)
+        cfgpad = [(0, 0)] * (x.ndim - 1) + [(0, n - p)]
         return jnp.pad(x, cfgpad)
 
     knn_idx, knn_w, stable = anchor_points(
@@ -61,7 +61,7 @@ def init_surfels_from_frame(cfg: SuPerConfig, graph: GraphState,
     h, w = cfg.height, cfg.width
     uu, vv = jnp.meshgrid(jnp.arange(w, dtype=jnp.float32),
                           jnp.arange(h, dtype=jnp.float32), indexing="xy")
-    proj_uv = jnp.stack([uu.reshape(-1), vv.reshape(-1)], axis=1)
+    proj_uv = jnp.stack([uu.reshape(-1), vv.reshape(-1)], axis=0)
 
     return SurfelState(
         points=pad(frame.points),
@@ -110,10 +110,20 @@ def track_step(cfg: SuPerConfig, intr: Intrinsics, state: TrackerState,
     Parity: SuPer.fusion + Surfels.fuseInputData + prune
     (super/super.py:66-83, nodes.py:270-627), LM path.
     """
-    ctx = prepare_lm(cfg, state.surfels, state.graph, frame)
-    result: LMResult = lm_solve(cfg, ctx, intr)
-    surfels, graph = apply_deformation(cfg, state.surfels, state.graph,
-                                       result.beta)
+    if cfg.solver.use_derived_gradient:
+        ctx = prepare_lm(cfg, state.surfels, state.graph, frame)
+        result: LMResult = lm_solve(cfg, ctx, intr)
+        surfels, graph = apply_deformation(cfg, state.surfels, state.graph,
+                                           result.beta)
+        solve_cost, damping = result.cost, result.final_damping
+    else:
+        from super_tpu.core.optimizer import graph_fit
+
+        deform, solve_cost = graph_fit(cfg, state.surfels, state.graph,
+                                       frame, intr)
+        surfels, graph = apply_deformation(cfg, state.surfels, state.graph,
+                                           deform[:-1], global_dq=deform[-1])
+        damping = jnp.asarray(0.0, jnp.float32)
     surfels, remap = fusion_mod.fuse_frame(cfg, intr, surfels, graph, frame)
     # Tracked surfels merged into another slot follow the merge
     # (nodes.py:443-447).
@@ -125,13 +135,13 @@ def track_step(cfg: SuPerConfig, intr: Intrinsics, state: TrackerState,
 
     # Refresh screen-space projections of all surfels (nodes.py:540-541).
     v, u, _, _ = project_points(surfels.points, intr, cfg.height, cfg.width)
-    surfels = surfels._replace(proj_uv=jnp.stack([u, v], axis=1))
+    surfels = surfels._replace(proj_uv=jnp.stack([u, v], axis=0))
 
     new_state = TrackerState(surfels=surfels, graph=graph, track=track,
                              time=frame.time)
     outs = StepOutputs(
-        lm_cost=result.cost,
-        lm_damping=result.final_damping,
+        lm_cost=solve_cost,
+        lm_damping=damping,
         num_surfels=surfels.num_active,
         num_nodes=graph.num_active,
     )

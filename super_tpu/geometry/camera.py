@@ -60,7 +60,7 @@ def project_points(points, intr: Intrinsics, height: int, width: int,
     """Project camera-frame points onto the image plane.
 
     Args:
-      points: (..., 3) camera-frame XYZ.
+      points: (3, ...) camera-frame XYZ, feature-major (axis 0 = x, y, z).
     Returns:
       (v, u, coords, valid):
         v, u: (...,) float screen coordinates (row, col).
@@ -69,7 +69,7 @@ def project_points(points, intr: Intrinsics, height: int, width: int,
     Parity: utils/utils.py:161-184 (including the ``Z + 1e-8`` guard and the
     asymmetric ``< dim - 1 - margin`` upper bound).
     """
-    x, y, z = points[..., 0], points[..., 1], points[..., 2] + 1e-8
+    x, y, z = points[0], points[1], points[2] + 1e-8
     u = x * intr.fx / z + intr.cx
     v = y * intr.fy / z + intr.cy
     # Match torch.round / rint semantics (round-half-to-even).
@@ -96,7 +96,7 @@ def pixel_grid(height: int, width: int, dtype=jnp.float32):
 
 
 def backproject_depth(depth, intr: Intrinsics):
-    """Depth map (H, W) -> camera-frame point cloud (H, W, 3).
+    """Depth map (H, W) -> camera-frame point cloud (3, H, W), feature-major.
 
     X = (u - cx) Z / fx, Y = (v - cy) Z / fy.
     Parity: utils/utils.py:186-208 and depth/monodepth2/layers.py:139-167
@@ -106,7 +106,7 @@ def backproject_depth(depth, intr: Intrinsics):
     uu, vv = pixel_grid(h, w, dtype=depth.dtype)
     x = (uu - intr.cx) * depth / intr.fx
     y = (vv - intr.cy) * depth / intr.fy
-    return jnp.stack([x, y, depth], axis=-1)
+    return jnp.stack([x, y, depth], axis=0)
 
 
 def warp_stereo_coords(points_h, intr: Intrinsics, baseline_tx, height: int,
@@ -118,13 +118,13 @@ def warp_stereo_coords(points_h, intr: Intrinsics, baseline_tx, height: int,
     x-translation of the stereo baseline.
 
     Args:
-      points_h: (H, W, 3) camera points.
+      points_h: (3, H, W) camera points, feature-major.
       baseline_tx: scalar translation along x (stereo_T[0, 3]).
     Returns: (H, W, 2) normalized sampling grid (x, y) in [-1, 1].
     """
-    x = points_h[..., 0] + baseline_tx
-    y = points_h[..., 1]
-    z = points_h[..., 2] + eps
+    x = points_h[0] + baseline_tx
+    y = points_h[1]
+    z = points_h[2] + eps
     u = x * intr.fx / z + intr.cx
     v = y * intr.fy / z + intr.cy
     gx = u / (width - 1) * 2.0 - 1.0

@@ -9,12 +9,18 @@ any invalid corner (super/loss.py:106-157 ``bilinear_intrpl_block`` and
 
 This masked re-implementation returns an explicit validity mask instead of
 NaNs (mask-carried arithmetic is the TPU-native equivalent of the NaN
-plumbing; the valid sets are identical).  It also returns the analytic
-gradient of the sampled value w.r.t. the sampling coordinates (Spatial
-Transformer eq. 6-7), needed by the derived-gradient LM path.
+plumbing; the valid sets are identical), plus the analytic gradient of the
+sampled value w.r.t. the sampling coordinates (Spatial Transformer eq. 6-7)
+needed by the derived-gradient LM path.
 
-This sits in the residual hot loop -- it is pure gather + VPU math and fuses
-into the surrounding jit; a Pallas fused version is a later optimization.
+Corner scheme: (floor, floor+1) rather than the reference's (floor, ceil) --
+identical for non-integer coordinates, but correct at exact integers where
+floor == ceil makes the reference double-count corners (its f64 ``+1e-8``
+projection guard hides this; in f32 the guard underflows).
+
+Feature storage is feature-major (F, M); gathers are channel-wise rank-1
+(padding-free).  Queries are chunk-sized, so row-major (N, F) outputs are
+cheap.
 """
 
 from __future__ import annotations
@@ -22,42 +28,42 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
-def bilinear_sample_indexed(features, index_map, v, u, *, compute_grad=False):
-    """Sample ``features`` through ``index_map`` at float coords (v, u).
-
-    Args:
-      features: (M, C) per-surfel feature rows.
-      index_map: (H, W) int32; >=0 is a row of ``features``, -1 invalid.
-      v, u: (N,) float row / col coordinates.
-      compute_grad: also return d(value)/d(u,v).
-    Returns:
-      values: (N, C) blended features (zeros where invalid).
-      valid:  (N,) bool -- all four corners mapped to valid surfels and lay
-        in-bounds (parity with the reference's NaN-propagation + U_nm_valid).
-      grad:   (N, C, 2) with [..., 0] = d/du and [..., 1] = d/dv, or None.
-        (Note the reference stacks [d/du, d/dv] in this order too, despite
-        its comment saying otherwise -- see the dPi chain in
-        super/loss.py:257-259.)
-    """
-    h, w = index_map.shape
-    # Corners (floor, floor+1) rather than the reference's (floor, ceil):
-    # identical for non-integer coordinates, but correct at exact integers
-    # where floor == ceil makes the reference double-count corners (its f64
-    # +1e-8 projection guard hides this; in f32 the guard underflows).
+def _corners(v, u, h, w):
     fl_v, cl_v = jnp.floor(v), jnp.floor(v) + 1.0
     fl_u, cl_u = jnp.floor(u), jnp.floor(u) + 1.0
-
-    n_blk = jnp.stack([fl_v, fl_v, cl_v, cl_v], axis=1)  # (N, 4) row coords
-    m_blk = jnp.stack([fl_u, cl_u, fl_u, cl_u], axis=1)  # (N, 4) col coords
-
+    n_blk = jnp.stack([fl_v, fl_v, cl_v, cl_v], axis=1)  # (N, 4) rows
+    m_blk = jnp.stack([fl_u, cl_u, fl_u, cl_u], axis=1)  # (N, 4) cols
     ni = n_blk.astype(jnp.int32)
     mi = m_blk.astype(jnp.int32)
-    ni_c = jnp.clip(ni, 0, h - 1)
-    mi_c = jnp.clip(mi, 0, w - 1)
-    sf_idx = index_map[ni_c, mi_c]  # (N, 4)
-    corner_valid = (sf_idx >= 0) & (ni >= 0) & (ni < h) & (mi >= 0) & (mi < w)
+    in_bounds = (ni >= 0) & (ni < h) & (mi >= 0) & (mi < w)
+    return n_blk, m_blk, jnp.clip(ni, 0, h - 1), jnp.clip(mi, 0, w - 1), in_bounds
 
-    gathered = features[jnp.clip(sf_idx, 0, features.shape[0] - 1)]  # (N, 4, C)
+
+def bilinear_sample_indexed(features_fm, index_map, v, u, *,
+                            compute_grad=False):
+    """Sample features through ``index_map`` at float coords (v, u).
+
+    Args:
+      features_fm: (F, M) per-surfel feature rows, feature-major.
+      index_map: (H, W) int32; >=0 is a column of ``features_fm``, -1 invalid.
+      v, u: (N,) float row / col coordinates (chunk-sized).
+    Returns:
+      values: (N, F) blended features (zeros where invalid).
+      valid:  (N,) bool -- all four corners valid and in-bounds.
+      grad:   (N, F, 2) with [..., 0] = d/du and [..., 1] = d/dv, or None.
+        (The reference stacks [d/du, d/dv] in this order too, despite its
+        comment -- see the dPi chain in super/loss.py:257-259.)
+    """
+    h, w = index_map.shape
+    f = features_fm.shape[0]
+    m = features_fm.shape[1]
+    n_blk, m_blk, ni, mi, in_bounds = _corners(v, u, h, w)
+    sf_idx = index_map[ni, mi]  # (N, 4)
+    corner_valid = (sf_idx >= 0) & in_bounds
+    safe_idx = jnp.clip(sf_idx, 0, m - 1)
+
+    gathered = jnp.stack([features_fm[c][safe_idx] for c in range(f)],
+                         axis=-1)  # (N, 4, F)
     gathered = jnp.where(corner_valid[..., None], gathered, 0.0)
 
     dn = n_blk - v[:, None]
@@ -65,7 +71,7 @@ def bilinear_sample_indexed(features, index_map, v, u, *, compute_grad=False):
     wn = jnp.maximum(1.0 - jnp.abs(dn), 0.0)  # (N, 4)
     wm = jnp.maximum(1.0 - jnp.abs(dm), 0.0)
 
-    values = jnp.sum(gathered * (wn * wm)[..., None], axis=1)  # (N, C)
+    values = jnp.sum(gathered * (wn * wm)[..., None], axis=1)  # (N, F)
     valid = jnp.all(corner_valid, axis=1)
 
     if not compute_grad:
@@ -77,25 +83,61 @@ def bilinear_sample_indexed(features, index_map, v, u, *, compute_grad=False):
     sgn_m = jnp.where(dm >= 0, 1.0, -1.0)
     d_du = jnp.sum(gathered * (wn * sgn_m)[..., None], axis=1)
     d_dv = jnp.sum(gathered * (wm * sgn_n)[..., None], axis=1)
-    grad = jnp.stack([d_du, d_dv], axis=2)  # (N, C, 2)
+    grad = jnp.stack([d_du, d_dv], axis=2)  # (N, F, 2)
     return values, valid, grad
 
 
-def bilinear_sample_image(image, v, u):
-    """Plain bilinear sampling of a dense (H, W, C) image at float (v, u).
+def bilinear_sample_two(features_a, features_b, index_map, v, u, *,
+                        compute_grad=False):
+    """Sample two feature banks through one shared index-map lookup.
 
-    Equivalent of ``F.grid_sample(..., align_corners=False?)`` usage in the
-    autograd losses when no index_map is involved.  Out-of-bounds corners are
-    clamped; returns (values, in_bounds_mask).
+    Same semantics as two :func:`bilinear_sample_indexed` calls (the hot
+    point/normal pair of the data term, loss.py:237-240) but the corner
+    index gather, validity and weights are computed once.
+    Returns (values_a, values_b, valid, grad_a, grad_b).
     """
-    h, w = image.shape[0], image.shape[1]
-    fl_v, cl_v = jnp.floor(v), jnp.floor(v) + 1.0
-    fl_u, cl_u = jnp.floor(u), jnp.floor(u) + 1.0
-    n_blk = jnp.stack([fl_v, fl_v, cl_v, cl_v], axis=1)
-    m_blk = jnp.stack([fl_u, cl_u, fl_u, cl_u], axis=1)
-    ni = jnp.clip(n_blk.astype(jnp.int32), 0, h - 1)
-    mi = jnp.clip(m_blk.astype(jnp.int32), 0, w - 1)
-    gathered = image[ni, mi]  # (N, 4, C)
+    h, w = index_map.shape
+    m = features_a.shape[1]
+    n_blk, m_blk, ni, mi, in_bounds = _corners(v, u, h, w)
+    sf_idx = index_map[ni, mi]
+    corner_valid = (sf_idx >= 0) & in_bounds
+    safe_idx = jnp.clip(sf_idx, 0, m - 1)
+
+    def gath(feats):
+        g = jnp.stack([feats[c][safe_idx] for c in range(feats.shape[0])],
+                      axis=-1)
+        return jnp.where(corner_valid[..., None], g, 0.0)
+
+    ga, gb = gath(features_a), gath(features_b)
+    dn = n_blk - v[:, None]
+    dm = m_blk - u[:, None]
+    wn = jnp.maximum(1.0 - jnp.abs(dn), 0.0)
+    wm = jnp.maximum(1.0 - jnp.abs(dm), 0.0)
+    wc = (wn * wm)[..., None]
+    va = jnp.sum(ga * wc, axis=1)
+    vb = jnp.sum(gb * wc, axis=1)
+    valid = jnp.all(corner_valid, axis=1)
+    if not compute_grad:
+        return va, vb, valid, None, None
+    sgn_n = jnp.where(dn >= 0, 1.0, -1.0)
+    sgn_m = jnp.where(dm >= 0, 1.0, -1.0)
+    wu = (wn * sgn_m)[..., None]
+    wv = (wm * sgn_n)[..., None]
+    grad_a = jnp.stack([jnp.sum(ga * wu, axis=1), jnp.sum(ga * wv, axis=1)],
+                       axis=2)
+    grad_b = jnp.stack([jnp.sum(gb * wu, axis=1), jnp.sum(gb * wv, axis=1)],
+                       axis=2)
+    return va, vb, valid, grad_a, grad_b
+
+
+def bilinear_sample_image(image_fm, v, u):
+    """Plain bilinear sampling of a dense (F, H, W) image at float (v, u).
+
+    Out-of-bounds corners are clamped; returns ((N, F) values, in-bounds
+    mask)."""
+    f, h, w = image_fm.shape
+    n_blk, m_blk, ni, mi, _ = _corners(v, u, h, w)
+    gathered = jnp.stack([image_fm[c][ni, mi] for c in range(f)], axis=-1)
     wn = jnp.maximum(1.0 - jnp.abs(n_blk - v[:, None]), 0.0)
     wm = jnp.maximum(1.0 - jnp.abs(m_blk - u[:, None]), 0.0)
     values = jnp.sum(gathered * (wn * wm)[..., None], axis=1)

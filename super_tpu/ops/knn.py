@@ -2,10 +2,14 @@
 
 Replaces the pytorch3d CUDA ``knn_points`` / ``ball_query`` dependency of the
 reference (utils/utils.py:212-242, ``find_knn``) with a TPU-native design:
-the pairwise distance matrix is a single matmul (MXU), chunked over queries to
-bound memory, followed by ``lax.top_k``.  Masked variants support the
+the pairwise distance matrix is a single matmul (MXU), chunked over queries
+to bound memory, followed by ``lax.top_k``.  Masked variants support the
 fixed-capacity state (invalid refs/queries excluded by +inf distances) and
 the Semantic-SuPer hard-seg class-restricted search.
+
+Feature-major interface: point sets are ``(3, N)``; results are ``(k, N)``
+(TPU tile padding makes (N, small) layouts 32-42x oversized -- see
+core/state.py docstring).
 
 Distances returned are Euclidean (the reference sqrt's the squared distances
 from knn_points).
@@ -13,59 +17,68 @@ from knn_points).
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 
 _BIG = jnp.inf
 
 
-def _pairwise_sqdist(q, r):
-    """(C, 3) x (M, 3) -> (C, M) squared distances via one matmul."""
-    qq = jnp.sum(q * q, axis=-1)[:, None]
-    rr = jnp.sum(r * r, axis=-1)[None, :]
-    cross = q @ r.T
+def _pairwise_sqdist_fm(q, r):
+    """(3, C) x (3, M) -> (C, M) squared distances via one matmul."""
+    qq = jnp.sum(q * q, axis=0)[:, None]
+    rr = jnp.sum(r * r, axis=0)[None, :]
+    cross = jnp.einsum("dc,dm->cm", q, r)
     return jnp.maximum(qq + rr - 2.0 * cross, 0.0)
 
 
 def masked_knn(queries, refs, k, *, query_mask=None, ref_mask=None,
-               chunk: int = 8192):
-    """K nearest refs for each query, honoring validity masks.
+               query_seg=None, ref_seg=None, chunk: int = 8192):
+    """K nearest refs for each query, honoring validity (and class) masks.
 
     Args:
-      queries: (N, 3); refs: (M, 3).
+      queries: (3, N); refs: (3, M), feature-major.
       query_mask: (N,) bool or None; invalid queries get dist=+inf, idx=0.
-      ref_mask: (M,) bool or None; invalid refs are never selected (unless
-        fewer than k valid refs exist, in which case trailing neighbors have
-        dist=+inf).
-      chunk: query tile size (C x M distance block must fit comfortably in
-        VMEM/HBM; 8192 x 4096 f32 = 128 MB worst case in HBM, tiles stream).
+      ref_mask: (M,) bool or None; invalid refs are never selected.
+      query_seg / ref_seg: optional (N,)/(M,) int class labels; when given,
+        only same-class refs are eligible (hard-seg find_knn,
+        utils/utils.py:222-242).
+      chunk: query tile size.
     Returns:
-      dists: (N, k) float Euclidean distances (inf for invalid).
-      idx:   (N, k) int32 ref indices.
+      dists: (k, N) float Euclidean distances (inf for invalid).
+      idx:   (k, N) int32 ref indices.
     """
-    n = queries.shape[0]
+    n = queries.shape[-1]
     k = int(k)
     if ref_mask is None:
-        ref_mask = jnp.ones(refs.shape[0], dtype=bool)
+        ref_mask = jnp.ones(refs.shape[-1], dtype=bool)
 
     pad = (-n) % chunk
-    q_padded = jnp.pad(queries, ((0, pad), (0, 0)))
-    q_tiles = q_padded.reshape(-1, chunk, 3)
+    qp = jnp.pad(queries, ((0, 0), (0, pad)))
+    nchunks = qp.shape[-1] // chunk
+    q_tiles = jnp.moveaxis(qp.reshape(3, nchunks, chunk), 1, 0)  # (nc, 3, C)
+    if query_seg is not None:
+        seg_tiles = jnp.pad(query_seg, (0, pad)).reshape(nchunks, chunk)
+        xs = (q_tiles, seg_tiles)
+    else:
+        xs = (q_tiles,)
 
-    def one_tile(q):
-        d2 = _pairwise_sqdist(q, refs)
-        d2 = jnp.where(ref_mask[None, :], d2, _BIG)
+    def one_tile(args):
+        q = args[0]
+        d2 = _pairwise_sqdist_fm(q, refs)
+        eligible = ref_mask[None, :]
+        if query_seg is not None:
+            eligible = eligible & (ref_seg[None, :] == args[1][:, None])
+        d2 = jnp.where(eligible, d2, _BIG)
         neg, idx = jax.lax.top_k(-d2, k)
-        return jnp.sqrt(jnp.maximum(-neg, 0.0)), idx.astype(jnp.int32)
+        # (C, k) -> (k, C) feature-major outputs.
+        return jnp.sqrt(jnp.maximum(-neg, 0.0)).T, idx.astype(jnp.int32).T
 
-    dists, idx = jax.lax.map(one_tile, q_tiles)
-    dists = dists.reshape(-1, k)[:n]
-    idx = idx.reshape(-1, k)[:n]
+    dists, idx = jax.lax.map(one_tile, xs)          # (nc, k, C)
+    dists = jnp.moveaxis(dists, 0, 1).reshape(k, -1)[:, :n]
+    idx = jnp.moveaxis(idx, 0, 1).reshape(k, -1)[:, :n]
     if query_mask is not None:
-        dists = jnp.where(query_mask[:, None], dists, _BIG)
-        idx = jnp.where(query_mask[:, None], idx, 0)
+        dists = jnp.where(query_mask[None, :], dists, _BIG)
+        idx = jnp.where(query_mask[None, :], idx, 0)
     return dists, idx
 
 
@@ -76,51 +89,23 @@ def knn(queries, refs, k, chunk: int = 8192):
 
 def class_masked_knn(queries, refs, k, query_seg, ref_seg, *,
                      query_mask=None, ref_mask=None, chunk: int = 8192):
-    """KNN restricted to refs of the query's semantic class.
-
-    Parity: utils/utils.py:222-242 (hard-seg find_knn) -- the reference loops
-    classes and fills per-class results; here the class constraint is just an
-    extra mask inside the distance tile, so one pass covers all classes.
-    """
-    n = queries.shape[0]
-    k = int(k)
-    if ref_mask is None:
-        ref_mask = jnp.ones(refs.shape[0], dtype=bool)
-
-    pad = (-n) % chunk
-    q_padded = jnp.pad(queries, ((0, pad), (0, 0)))
-    seg_padded = jnp.pad(query_seg, (0, pad))
-    q_tiles = q_padded.reshape(-1, chunk, 3)
-    seg_tiles = seg_padded.reshape(-1, chunk)
-
-    def one_tile(args):
-        q, qseg = args
-        d2 = _pairwise_sqdist(q, refs)
-        eligible = ref_mask[None, :] & (ref_seg[None, :] == qseg[:, None])
-        d2 = jnp.where(eligible, d2, _BIG)
-        neg, idx = jax.lax.top_k(-d2, k)
-        return jnp.sqrt(jnp.maximum(-neg, 0.0)), idx.astype(jnp.int32)
-
-    dists, idx = jax.lax.map(one_tile, (q_tiles, seg_tiles))
-    dists = dists.reshape(-1, k)[:n]
-    idx = idx.reshape(-1, k)[:n]
-    if query_mask is not None:
-        dists = jnp.where(query_mask[:, None], dists, _BIG)
-        idx = jnp.where(query_mask[:, None], idx, 0)
-    return dists, idx
+    """KNN restricted to refs of the query's semantic class."""
+    return masked_knn(queries, refs, k, query_mask=query_mask,
+                      ref_mask=ref_mask, query_seg=query_seg,
+                      ref_seg=ref_seg, chunk=chunk)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "exclude_self"))
-def self_knn(points, k, *, mask=None, exclude_self: bool = True):
+def self_knn(points, k, *, mask=None, exclude_self: bool = True,
+             seg=None, chunk: int = 8192):
     """KNN of a point set against itself (ED-node neighbor graph).
 
     Matches the reference pattern of querying k+1 and dropping the first
-    column (update_ed, super/nodes.py:154-165): with exclude_self=True the
-    self-match (distance 0) is removed.
+    column (update_ed, super/nodes.py:154-165).
     """
     kk = k + 1 if exclude_self else k
-    dists, idx = masked_knn(points, points, kk, query_mask=mask, ref_mask=mask,
-                            chunk=min(8192, max(points.shape[0], 8)))
+    dists, idx = masked_knn(points, points, kk, query_mask=mask,
+                            ref_mask=mask, query_seg=seg, ref_seg=seg,
+                            chunk=min(chunk, max(points.shape[-1], 8)))
     if exclude_self:
-        dists, idx = dists[:, 1:], idx[:, 1:]
+        dists, idx = dists[1:], idx[1:]
     return dists, idx

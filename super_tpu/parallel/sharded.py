@@ -32,18 +32,18 @@ from super_tpu.core.tracker import StepOutputs
 from super_tpu.core.warp import apply_deformation
 from super_tpu.geometry.camera import Intrinsics, project_points
 
-_SURFEL_FIELDS = ("sf_mask", "sf_knn_idx", "sf_knn_w", "sf_knn", "sf_diff",
-                  "sf_skew")
+_SURFEL_FIELDS = ("sf_mask", "sf_knn_idx", "sf_knn_w", "sf_knn", "sf_diff")
 
 
 def shard_ctx(ctx: LMContext, axis_name: str, num_shards: int) -> LMContext:
-    """Slice the surfel-dimension fields of the LM context to this shard."""
+    """Slice the surfel-dimension (last-axis) fields of the LM context."""
     idx = jax.lax.axis_index(axis_name)
     repl = {}
     for name in _SURFEL_FIELDS:
         arr = getattr(ctx, name)
-        local = arr.shape[0] // num_shards
-        repl[name] = jax.lax.dynamic_slice_in_dim(arr, idx * local, local, 0)
+        local = arr.shape[-1] // num_shards
+        repl[name] = jax.lax.dynamic_slice_in_dim(arr, idx * local, local,
+                                                  arr.ndim - 1)
     return ctx._replace(**repl)
 
 
@@ -72,7 +72,7 @@ def track_step_sharded(cfg: SuPerConfig, intr: Intrinsics, num_shards: int,
         track.track_id >= 0, remap[tid], track.track_id))
     surfels, track = fusion_mod.prune_surfels(cfg, surfels, track, frame.time)
     v, u, _, _ = project_points(surfels.points, intr, cfg.height, cfg.width)
-    surfels = surfels._replace(proj_uv=jnp.stack([u, v], axis=1))
+    surfels = surfels._replace(proj_uv=jnp.stack([u, v], axis=0))
     new_state = TrackerState(surfels=surfels, graph=graph, track=track,
                              time=frame.time)
     outs = StepOutputs(lm_cost=result.cost, lm_damping=result.final_damping,

@@ -59,8 +59,11 @@ class SuPerPipeline:
                 kw["seg"] = jnp.asarray(segs[t])
             if seg_confs is not None:
                 kw["seg_conf"] = jnp.asarray(seg_confs[t])
+            color = np.asarray(colors[t])
+            if color.shape[-1] == 3:  # HWC -> CHW
+                color = color.transpose(2, 0, 1)
             frame = self._preprocess(jnp.asarray(depths[t]),
-                                     jnp.asarray(colors[t]),
+                                     jnp.asarray(color),
                                      jnp.float32(t), **kw)
             if self.state is None:
                 self.state = self._init(frame)

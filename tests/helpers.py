@@ -14,8 +14,7 @@ def tiny_config(h=48, w=64, step=8, proj_depth=4):
         solver=SolverConfig(
             assembly_tuple_cap=1024,
             assembly_pad_group=8,
-            assembly_tuple_chunk=256,
-            assembly_local=64,
+            assembly_chunk=4096,
         ),
         capacity=CapacityConfig(
             surfel_capacity=2 * h * w,
@@ -34,7 +33,8 @@ def tiny_scene(num_frames=6, h=48, w=64, step=8, seed=0):
     seq = generate(num_frames, h, w, intr=intr, seed=seed)
     frames = [
         preprocess_frame(cfg, intr, jnp.asarray(seq.depths[t]),
-                         jnp.asarray(seq.colors[t]), float(t))
+                         jnp.asarray(seq.colors[t].transpose(2, 0, 1)),
+                         float(t))
         for t in range(num_frames)
     ]
     return cfg, intr, seq, frames

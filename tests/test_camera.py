@@ -11,8 +11,8 @@ def test_backproject_project_roundtrip(rng):
     intr = Intrinsics.superv1()
     h, w = 48, 64
     depth = jnp.asarray(0.5 + rng.uniform(size=(h, w)))
-    pts = backproject_depth(depth, intr)
-    v, u, coords, valid = project_points(pts.reshape(-1, 3), intr, h, w)
+    pts = backproject_depth(depth, intr)       # (3, H, W)
+    v, u, coords, valid = project_points(pts.reshape(3, -1), intr, h, w)
     uu, vv = jnp.meshgrid(jnp.arange(w, dtype=depth.dtype),
                           jnp.arange(h, dtype=depth.dtype), indexing="xy")
     # The reference's `Z + 1e-8` projection guard (utils/utils.py:172) shifts
@@ -29,7 +29,7 @@ def test_project_valid_margin():
     pts = jnp.array([[0.0, 0.0, 1.0],      # center -> (5, 5)
                      [0.5, 0.0, 1.0],      # -> (10, 5): u == w-1 -> invalid (u < w-1-margin)
                      [-0.5, 0.0, 1.0],     # -> (0, 5): valid at margin 0, invalid margin 1
-                     ])
+                     ]).T                   # feature-major (3, N)
     _, _, coords, valid0 = project_points(pts, intr, h, w, valid_margin=0)
     assert bool(valid0[0]) and not bool(valid0[1]) and bool(valid0[2])
     _, _, _, valid1 = project_points(pts, intr, h, w, valid_margin=1)

@@ -82,9 +82,9 @@ def test_jtj_matches_autodiff(scene, tracker0):
     # assembly treats rows independently, so a subset is a full check.
     ns = 384
     ctx = ctx._replace(
-        sf_mask=ctx.sf_mask[:ns], sf_knn_idx=ctx.sf_knn_idx[:ns],
-        sf_knn_w=ctx.sf_knn_w[:ns], sf_knn=ctx.sf_knn[:ns],
-        sf_diff=ctx.sf_diff[:ns], sf_skew=ctx.sf_skew[:ns])
+        sf_mask=ctx.sf_mask[:ns], sf_knn_idx=ctx.sf_knn_idx[:, :ns],
+        sf_knn_w=ctx.sf_knn_w[:, :ns], sf_knn=ctx.sf_knn[:, :ns],
+        sf_diff=ctx.sf_diff[:, :ns])
     intr64 = _to64(intr)
     j_cap = ctx.ed_mask.shape[0]
 
@@ -95,7 +95,8 @@ def test_jtj_matches_autodiff(scene, tracker0):
     ls = cfg.losses
 
     def rvec(b):
-        r1, _ = data_term_residual(cfg, ctx, b, intr64, ls.sf_point_plane_weight)
+        r1, _ = data_term_residual(cfg, ctx, b, intr64,
+                                   ls.sf_point_plane_weight)
         r2 = arap_term_residual(ctx, b, ls.mesh_arap_weight).reshape(-1)
         r3 = rot_term_residual(b, ctx.ed_mask, ls.mesh_rot_weight)
         return jnp.concatenate([r1, r2, r3])

@@ -31,7 +31,7 @@ def test_pipeline_runs_and_state_sane(result):
     st = pipe.state
     n = int(st.surfels.num_active)
     assert 1000 <= n <= cfg.capacity.surfel_capacity
-    pts = np.asarray(st.surfels.points)[np.asarray(st.surfels.active)]
+    pts = np.asarray(st.surfels.points).T[np.asarray(st.surfels.active)]
     assert np.isfinite(pts).all()
     assert np.isfinite(np.asarray(st.graph.points)).all()
     # Surfels stay in the scene's depth envelope.
@@ -54,6 +54,25 @@ def test_pipeline_tracking_accuracy(result):
         np.linalg.norm(seq.gt_xy[t] - seq.gt_xy[0], axis=1).mean()
         for t in range(1, len(seq.gt_xy))])
     assert metrics["reproj_mean"] < 0.75 * static_err, (metrics, static_err)
+
+
+def test_frozen_association_mode_tracks(result):
+    """Classical projective-ICP mode (association once per frame) should
+    track nearly as well as the reference's per-iteration re-association."""
+    import dataclasses
+
+    from super_tpu.data.synthetic import default_intrinsics, generate
+    from super_tpu.pipeline import SuPerPipeline
+
+    cfg, pipe, seq, metrics = result
+    cfg_f = cfg.replace(solver=dataclasses.replace(
+        cfg.solver, association="per_frame"))
+    intr = default_intrinsics(48, 64)
+    pipe_f = SuPerPipeline(cfg_f, intr)
+    m = pipe_f.run(seq.depths, seq.colors, gt_xy=seq.gt_xy,
+                   gt_valid=seq.gt_valid)
+    assert m["reproj_mean"] < metrics["reproj_mean"] * 1.5 + 1.0, \
+        (m["reproj_mean"], metrics["reproj_mean"])
 
 
 def test_pipeline_fusion_keeps_population_bounded(result):
