@@ -160,7 +160,9 @@ class SuPerConfig:
 
 
 def semantic_super_config(**overrides) -> SuPerConfig:
-    """Semantic-SuPer defaults (reference: options.py:285-350 set_defaults)."""
+    """Semantic-SuPer defaults (reference: options.py:285-350 set_defaults;
+    the semantic losses run on the autograd path like the reference's
+    default GraphFit solver)."""
     base = SuPerConfig(
         method="semantic-super",
         data="superv2",
@@ -171,6 +173,10 @@ def semantic_super_config(**overrides) -> SuPerConfig:
             mesh_face=True,
             sf_bn_morph=True,
             render_loss=True,
+        ),
+        solver=SolverConfig(
+            use_derived_gradient=False,
+            optimizer="SGD",
         ),
     )
     return dataclasses.replace(base, **overrides)

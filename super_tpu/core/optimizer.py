@@ -42,25 +42,39 @@ class AutogradContext(NamedTuple):
     base: LMContext
     sf_seg: jnp.ndarray        # (Np,) int32
     sf_seg_conf: jnp.ndarray   # (C, Np)
+    sf_colors: jnp.ndarray     # (3, Np)
     trg_seg_conf: jnp.ndarray  # (C, P)
     num_active_nodes: jnp.ndarray  # ()
+    extras: Optional["SemanticExtras"]
 
 
 def prepare_autograd(cfg: SuPerConfig, surfels: SurfelState,
-                     graph: GraphState, frame: FrameData) -> AutogradContext:
+                     graph: GraphState, frame: FrameData,
+                     flow=None) -> AutogradContext:
     import dataclasses
 
     from super_tpu.core.losses import prepare_lm
+    from super_tpu.core.semantic import SemanticExtras, build_semantic_extras
 
     cfg_s = cfg.replace(solver=dataclasses.replace(cfg.solver,
                                                    assembly_mode="scatter"))
     base = prepare_lm(cfg_s, surfels, graph, frame)
+    losses = cfg.losses
+    extras = None
+    if losses.sf_bn_morph or losses.render_loss or losses.sf_corr:
+        h, w = cfg.height, cfg.width
+        extras = build_semantic_extras(
+            cfg, frame.seg.reshape(h, w),
+            frame.seg_conf.reshape(-1, h, w),
+            frame.color_image, flow=flow)
     return AutogradContext(
         base=base,
         sf_seg=surfels.seg,
         sf_seg_conf=surfels.seg_conf,
+        sf_colors=surfels.colors,
         trg_seg_conf=frame.seg_conf,
         num_active_nodes=jnp.maximum(graph.num_active, 1),
+        extras=extras,
     )
 
 
@@ -86,7 +100,7 @@ def _warp_all(cfg, ctx: LMContext, deform):
 
 
 def point_plane_autograd(cfg: SuPerConfig, ctx: AutogradContext, deform,
-                         intr: Intrinsics):
+                         intr: Intrinsics, warped=None):
     """DataLoss.autograd_forward point-plane mode (loss.py:292-401).
 
     Optional semantic weighting: hard (same-class indicator) or soft
@@ -97,7 +111,8 @@ def point_plane_autograd(cfg: SuPerConfig, ctx: AutogradContext, deform,
     base = ctx.base
     losses = cfg.losses
     seg_icp = losses.sf_hard_seg_point_plane or losses.sf_soft_seg_point_plane
-    warped = _warp_all(cfg, base, deform)       # (3, Np)
+    if warped is None:
+        warped = _warp_all(cfg, base, deform)   # (3, Np)
     h, w = cfg.height, cfg.width
     v, u, _, valid = project_points(warped, intr, h, w, valid_margin=1)
     mask = base.sf_mask & valid
@@ -166,9 +181,13 @@ def autograd_total(cfg: SuPerConfig, ctx: AutogradContext,
     parts = {}
     total = jnp.asarray(0.0, jnp.float32)
     seg_icp = losses.sf_hard_seg_point_plane or losses.sf_soft_seg_point_plane
+    need_warp = (losses.sf_point_plane or seg_icp or losses.sf_bn_morph
+                 or losses.render_loss or losses.sf_corr)
+    warped = _warp_all(cfg, ctx.base, deform) if need_warp else None
+
     if losses.sf_point_plane or seg_icp:
         parts["point_plane"] = losses.sf_point_plane_weight * \
-            point_plane_autograd(cfg, ctx, deform, intr)
+            point_plane_autograd(cfg, ctx, deform, intr, warped=warped)
         total = total + parts["point_plane"]
     if losses.mesh_arap:
         parts["arap"] = losses.mesh_arap_weight * arap_autograd(
@@ -181,6 +200,28 @@ def autograd_total(cfg: SuPerConfig, ctx: AutogradContext,
     if losses.mesh_face:
         parts["face"] = losses.mesh_face_weight * face_autograd(graph, deform)
         total = total + parts["face"]
+
+    if ctx.extras is not None:
+        from super_tpu.core import semantic as sem
+        from super_tpu.render.splat import render_soft
+
+        if losses.sf_bn_morph:
+            parts["bn_morph"] = losses.sf_bn_morph_weight * sem.bn_morph_loss(
+                cfg, ctx.extras, warped, ctx.sf_seg, ctx.base.sf_mask, intr)
+            total = total + parts["bn_morph"]
+        if losses.render_loss:
+            rendered = render_soft(warped, ctx.sf_colors, ctx.base.sf_mask,
+                                   intr, cfg.height, cfg.width)
+            parts["render"] = losses.render_loss_weight * sem.render_loss(
+                cfg, ctx.extras, rendered)
+            total = total + parts["render"]
+        if losses.sf_corr:
+            parts["corr"] = losses.sf_corr_weight * sem.corr_loss(
+                cfg, ctx.extras, warped, ctx.base.trg_points,
+                ctx.base.trg_norms, ctx.base.trg_index_map,
+                ctx.base.sf_mask, intr,
+                loss_type=losses.sf_corr_loss_type)
+            total = total + parts["corr"]
     return total, parts
 
 

@@ -1,0 +1,146 @@
+"""Semantic-SuPer and appearance losses (autograd faces).
+
+- ``bn_morph_loss``: surfels whose warped projection lands in a *different*
+  semantic class are pulled toward their own class's segmentation boundary
+  (reference deform_mesh.py:126-194).  The reference gathers boundary pixels
+  and takes the mean squared distance to their 2 nearest; here the pull is
+  the squared per-class *distance transform* sampled differentiably at the
+  projection -- same minimizer (the boundary), no ragged KNN, and the
+  gradient flows through the projection into the warp.
+- ``render_loss``: squared SSIM between the softly-splatted surfel render
+  and the frame (deform_mesh.py:112-123), masked to rendered pixels and
+  clipped at 0.1.
+- ``corr_loss``: optical-flow-guided correspondence loss
+  (DataLoss.autograd_forward with flow, loss.py:313-366): flow maps source
+  projections to target coordinates; point-point or point-plane residuals
+  against the bilinearly sampled target.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from super_tpu.config import SuPerConfig
+from super_tpu.core.preprocess import chamfer_distance_transform
+from super_tpu.geometry.camera import Intrinsics, project_points
+from super_tpu.ops.bilinear import (
+    bilinear_sample_image,
+    bilinear_sample_indexed,
+    bilinear_sample_two,
+)
+from super_tpu.ops.morphology import find_edge_region
+from super_tpu.ops.ssim import ssim
+
+
+class SemanticExtras(NamedTuple):
+    """Per-frame dense inputs for the semantic/appearance losses."""
+
+    seg_conf_image: jnp.ndarray   # (C, H, W) frame class confidences
+    edge_dt: jnp.ndarray          # (C, H, W) per-class boundary DT (pixels)
+    color_image: jnp.ndarray      # (3, H, W)
+    flow: Optional[jnp.ndarray]   # (2, H, W) optical flow (u, v) or None
+
+
+def build_semantic_extras(cfg: SuPerConfig, frame_seg, frame_seg_conf,
+                          color_image, flow=None) -> SemanticExtras:
+    """Precompute the per-class boundary distance transforms (pixel metric,
+    kernel-3 edges as in deform_mesh.py:146-152)."""
+    c = cfg.num_classes
+    dts = []
+    for cid in range(c):
+        edge = find_edge_region(frame_seg, c, class_list=[cid], kernel=3)
+        dts.append(chamfer_distance_transform(edge, 1.0, 1.0, iterations=64))
+    return SemanticExtras(
+        seg_conf_image=frame_seg_conf,
+        edge_dt=jnp.stack(dts),
+        color_image=color_image,
+        flow=flow,
+    )
+
+
+def bn_morph_loss(cfg: SuPerConfig, extras: SemanticExtras, warped_points,
+                  sf_seg, sf_mask, intr: Intrinsics):
+    """Boundary-morph pull for misclassified surfels.
+
+    Args:
+      warped_points: (3, Np) warped surfels; sf_seg: (Np,); sf_mask: (Np,).
+    """
+    h, w = cfg.height, cfg.width
+    v, u, _, _ = project_points(warped_points, intr, h, w)
+    inb = (u > -1) & (u < w) & (v > -1) & (v < h)
+
+    # Sampled class at the projection (grid_sample parity,
+    # deform_mesh.py:136-139); stop-grad (it gates, it doesn't pull).
+    conf, _ = bilinear_sample_image(extras.seg_conf_image,
+                                    jax.lax.stop_gradient(v),
+                                    jax.lax.stop_gradient(u))
+    new_seg = jnp.argmax(conf, axis=-1)
+    morph = sf_mask & inb & (new_seg != sf_seg)
+
+    # Squared DT of the surfel's own class, sampled differentiably.
+    c = extras.edge_dt.shape[0]
+    dt_all, _ = bilinear_sample_image(extras.edge_dt, v, u)   # (Np, C)
+    dt_own = jnp.take_along_axis(dt_all, sf_seg[:, None], axis=1)[:, 0]
+
+    # Filter: ignore surfels closer to the image border than to the
+    # boundary (deform_mesh.py:173-178), and the reference's > 15 px^2
+    # threshold (deform_mesh.py:186).
+    dist_img_edge = jnp.minimum(jnp.minimum(u, w - u), jnp.minimum(v, h - v))
+    valid_match = dt_own <= jax.lax.stop_gradient(dist_img_edge)
+    sq = dt_own * dt_own
+    keep = morph & valid_match & (jax.lax.stop_gradient(sq) > 15.0)
+    cnt = jnp.maximum(jnp.sum(keep), 1)
+    return jnp.sum(jnp.where(keep, sq, 0.0)) / cnt
+
+
+def render_loss(cfg: SuPerConfig, extras: SemanticExtras, rendered):
+    """Squared-SSIM appearance loss on the soft render
+    (deform_mesh.py:112-123)."""
+    m = ssim(rendered, extras.color_image, kernel=11)
+    m = jnp.mean(m, axis=0) ** 2                       # (H, W)
+    # Valid pixels: every channel positive in an 11x11 window (the
+    # reference's maxpool(-min) < 0 trick).
+    min_c = jnp.min(rendered, axis=0)
+    neg = -min_c
+    pad = 5
+    win = jax.lax.reduce_window(neg, -jnp.inf, jax.lax.max, (11, 11), (1, 1),
+                                [(pad, pad), (pad, pad)])
+    valid = win < 0
+    keep = valid & (m < 0.1)
+    return jnp.sum(jnp.where(keep, m, 0.0))
+
+
+def corr_loss(cfg: SuPerConfig, extras: SemanticExtras, warped_points,
+              trg_points, trg_norms, trg_index_map, sf_mask,
+              intr: Intrinsics, loss_type: str = "point-point"):
+    """Optical-flow correspondence loss (loss.py:313-366).
+
+    Source surfels project to (u, v); the flow sampled there displaces the
+    coordinates into the target frame; the target map is sampled at the
+    displaced coordinates.
+    """
+    if extras.flow is None:
+        return jnp.asarray(0.0, warped_points.dtype)
+    h, w = cfg.height, cfg.width
+    v, u, _, _ = project_points(warped_points, intr, h, w)
+    fl, _ = bilinear_sample_image(extras.flow, jax.lax.stop_gradient(v),
+                                  jax.lax.stop_gradient(u))  # (Np, 2)
+    u2 = u + fl[:, 0]
+    v2 = v + fl[:, 1]
+    margin = 1
+    valid = sf_mask & (v2 >= margin) & (v2 < h - 1 - margin) & \
+        (u2 >= margin) & (u2 < w - 1 - margin)
+
+    if loss_type == "point-plane":
+        o, n, svalid, _, _ = bilinear_sample_two(
+            trg_points, trg_norms, trg_index_map, v2, u2)
+        r = jnp.sum(n * (warped_points.T - o), axis=-1)
+        sq = r * r
+    else:
+        o, svalid, _ = bilinear_sample_indexed(trg_points, trg_index_map,
+                                               v2, u2)
+        sq = jnp.sum((warped_points.T - o) ** 2, axis=-1)
+    return jnp.sum(jnp.where(valid & svalid, sq, 0.0))

@@ -30,6 +30,8 @@ class SyntheticSequence(NamedTuple):
     gt_xy: np.ndarray        # (T, P, 2) float32 GT screen coords of tracked pts
     gt_valid: np.ndarray     # (T, P) bool
     track0_xy: np.ndarray    # (P, 2) int tracked pixels at frame 0
+    segs: np.ndarray = None       # (T, H, W) int32 class labels (material-tied)
+    seg_confs: np.ndarray = None  # (T, C, H, W) float32 class scores
 
 
 _A = 0.0015   # lateral drift per frame (m)
@@ -59,7 +61,9 @@ def _deform(points, t):
 
 def generate(num_frames: int, height: int, width: int,
              intr: Intrinsics = None, num_track: int = 20,
-             seed: int = 0) -> SyntheticSequence:
+             seed: int = 0, num_classes: int = 0) -> SyntheticSequence:
+    """When num_classes > 0, also emit material-tied semantic labels (regions
+    move with the surface, like tissue classes in Semantic-SuPer)."""
     if intr is None:
         fx = fy = 500.0
         cx, cy = width / 2 - 0.37, height / 2 + 0.21  # off-integer principal pt
@@ -101,11 +105,28 @@ def generate(num_frames: int, height: int, width: int,
     px0 = np.stack([x0g[ty, tx], y0g[ty, tx],
                     _rest_z(x0g[ty, tx], y0g[ty, tx])], axis=-1)
 
-    depths, colors, gts, gtv = [], [], [], []
+    def seg_from_material(x0, y0):
+        """Smooth material-tied class field -> labels + soft confidences."""
+        score = np.sin(14.0 * x0 + 9.0 * y0) + 0.6 * np.cos(11.0 * y0)
+        if num_classes == 2:
+            logits = np.stack([score, -score]) * 4.0
+        else:
+            s2 = np.cos(13.0 * x0 - 7.0 * y0)
+            logits = np.stack([score, -score + s2, -s2 - 0.2]) * 4.0
+            logits = logits[:num_classes]
+        e = np.exp(logits - logits.max(0, keepdims=True))
+        conf = e / e.sum(0, keepdims=True)
+        return conf.argmax(0).astype(np.int32), conf.astype(np.float32)
+
+    depths, colors, gts, gtv, segs, confs = [], [], [], [], [], []
     for t in range(num_frames):
         x0, y0, z = material_coords_and_depth(float(t))
         depths.append(z.astype(np.float32))
         colors.append(color_from_material(x0, y0))
+        if num_classes > 0:
+            s, cmap = seg_from_material(x0, y0)
+            segs.append(s)
+            confs.append(cmap)
         pt = _deform(px0, float(t))
         gu = pt[:, 0] * fx / pt[:, 2] + cx
         gv = pt[:, 1] * fy / pt[:, 2] + cy
@@ -118,6 +139,8 @@ def generate(num_frames: int, height: int, width: int,
         gt_xy=np.stack(gts),
         gt_valid=np.stack(gtv),
         track0_xy=np.stack([tx, ty], axis=-1).astype(np.int32),
+        segs=np.stack(segs) if segs else None,
+        seg_confs=np.stack(confs) if confs else None,
     )
 
 
