@@ -1,0 +1,159 @@
+"""Perception-model tests: shapes, finiteness, BN math, torch conversion."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from super_tpu.models.monodepth2 import (
+    Monodepth2,
+    batch_post_process_disparity,
+    predict_depth,
+)
+from super_tpu.models.raft_flow import RAFTFlow
+from super_tpu.models.raft_stereo import RAFTStereo, depth_from_disparity
+from super_tpu.models.resnet import ResNetEncoder, convert_torch_resnet
+from super_tpu.models.segmentation import DeepLabV3Plus, predict_seg
+
+
+@pytest.fixture(scope="module")
+def key():
+    return jax.random.PRNGKey(0)
+
+
+def test_monodepth2_shapes_and_range(key):
+    img = jax.random.uniform(key, (1, 64, 96, 3))
+    m = Monodepth2(num_layers=18)
+    params = m.init(key, img)
+    outs = m.apply(params, img)
+    assert set(outs) == {0, 1, 2, 3}
+    for s, d in outs.items():
+        assert d.shape == (1, 64 // 2 ** s, 96 // 2 ** s, 1)
+        arr = np.asarray(d)
+        assert np.isfinite(arr).all() and (arr > 0).all() and (arr < 1).all()
+    disp, depth = predict_depth(params, m, img[0].transpose(2, 0, 1),
+                                0.1, 80.0, post_process=True)
+    assert disp.shape == (64, 96)
+    assert np.isfinite(np.asarray(depth)).all()
+
+
+def test_post_process_blending():
+    l = jnp.ones((1, 8, 16))
+    r = 2 * jnp.ones((1, 8, 16))
+    out = np.asarray(batch_post_process_disparity(l, r))
+    # Left band ~ r_disp-dominated... blended values stay within [1, 2].
+    assert out.min() >= 1.0 - 1e-6 and out.max() <= 2.0 + 1e-6
+
+
+def test_raft_stereo_runs(key):
+    img = jax.random.uniform(key, (1, 48, 64, 3))
+    m = RAFTStereo(iters=3)
+    params = m.init(key, img, img)
+    flow = m.apply(params, img, img)
+    assert flow.shape == (1, 48, 64)
+    assert np.isfinite(np.asarray(flow)).all()
+    depth = depth_from_disparity(-jnp.abs(flow) - 1.0)
+    assert np.isfinite(np.asarray(depth)).all()
+
+
+def test_raft_flow_runs(key):
+    img = jax.random.uniform(key, (1, 48, 64, 3))
+    m = RAFTFlow(iters=2)
+    params = m.init(key, img, img)
+    flow = m.apply(params, img, img)
+    assert flow.shape == (1, 48, 64, 2)
+    assert np.isfinite(np.asarray(flow)).all()
+
+
+def test_segmentation_runs(key):
+    img = jax.random.uniform(key, (1, 48, 64, 3))
+    m = DeepLabV3Plus(num_classes=3, num_layers=18)
+    params = m.init(key, img)
+    logits = m.apply(params, img)
+    assert logits.shape == (1, 3, 48, 64)
+    seg, conf = predict_seg(params, m, img[0].transpose(2, 0, 1))
+    assert seg.shape == (48, 64)
+    np.testing.assert_allclose(np.asarray(conf).sum(0), 1.0, atol=1e-4)
+
+
+def test_resnet_matches_torch_block():
+    """Converted torch conv+bn stem must match our encoder's stem output."""
+    torch = pytest.importorskip("torch")
+    torch.manual_seed(0)
+    conv = torch.nn.Conv2d(3, 64, 7, stride=2, padding=3, bias=False)
+    bn = torch.nn.BatchNorm2d(64)
+    bn.eval()
+    with torch.no_grad():
+        bn.running_mean.normal_(0, 0.5)
+        bn.running_var.uniform_(0.5, 2.0)
+        bn.weight.normal_(1, 0.2)
+        bn.bias.normal_(0, 0.2)
+        x_t = torch.randn(1, 3, 32, 32)
+        ref = torch.relu(bn(conv(x_t))).numpy()
+
+    # Build a state dict resembling resnet18 with our stem weights and
+    # identity-ish layers is overkill; instead check the stem math directly.
+    from super_tpu.models.resnet import _BN
+
+    import flax.linen as nn
+
+    class Stem(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            x = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
+                        use_bias=False, name="conv1")(x)
+            return nn.relu(_BN(name="bn1")(x))
+
+    params = {"params": {
+        "conv1": {"kernel": jnp.asarray(
+            conv.weight.detach().numpy().transpose(2, 3, 1, 0))},
+        "bn1": {
+            "scale": jnp.asarray(bn.weight.detach().numpy()),
+            "bias": jnp.asarray(bn.bias.detach().numpy()),
+            "mean": jnp.asarray(bn.running_mean.numpy()),
+            "var": jnp.asarray(bn.running_var.numpy()),
+        },
+    }}
+    out = Stem().apply(params, jnp.asarray(
+        x_t.numpy().transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(out).transpose(0, 3, 1, 2), ref,
+                               atol=2e-5)
+
+
+def test_convert_torch_resnet_full():
+    """Converter consumes a torch-style resnet18 state dict and the encoder
+    runs with it."""
+    torch = pytest.importorskip("torch")
+    torch.manual_seed(1)
+    sd = {}
+
+    def add_conv(name, cout, cin, k):
+        sd[name + ".weight"] = torch.randn(cout, cin, k, k) * 0.05
+
+    def add_bn(name, c):
+        sd[name + ".weight"] = torch.rand(c) + 0.5
+        sd[name + ".bias"] = torch.randn(c) * 0.1
+        sd[name + ".running_mean"] = torch.randn(c) * 0.1
+        sd[name + ".running_var"] = torch.rand(c) + 0.5
+
+    add_conv("conv1", 64, 3, 7)
+    add_bn("bn1", 64)
+    widths = [64, 128, 256, 512]
+    in_ch = 64
+    for li, w in enumerate(widths):
+        for bi in range(2):
+            t = f"layer{li+1}.{bi}"
+            add_conv(t + ".conv1", w, in_ch if bi == 0 else w, 3)
+            add_bn(t + ".bn1", w)
+            add_conv(t + ".conv2", w, w, 3)
+            add_bn(t + ".bn2", w)
+            if bi == 0 and (li > 0):
+                add_conv(t + ".downsample.0", w, in_ch, 1)
+                add_bn(t + ".downsample.1", w)
+        in_ch = w
+
+    params = convert_torch_resnet(sd, 18)
+    enc = ResNetEncoder(num_layers=18)
+    feats = enc.apply(params, jnp.ones((1, 32, 32, 3)))
+    assert [f.shape[-1] for f in feats] == [64, 64, 128, 256, 512]
+    assert all(np.isfinite(np.asarray(f)).all() for f in feats)
