@@ -83,8 +83,16 @@ class CapacityConfig:
     node_capacity: int = 512              # max ED nodes (J_max)
     edge_capacity: int = 2048             # max ED edges
     triangle_capacity: int = 1024         # max ED triangles
-    new_surfel_capacity: int = 1 << 17    # max surfel candidates per frame (<= H*W)
-    proj_map_depth: int = 16              # per-pixel projection layers (reference: nodes.py:379)
+    # Max surfels *added* per fusion step: add candidates are compacted to
+    # this capacity before ED-anchoring (the reference anchors however many
+    # unmatched candidates exist, nodes.py:486-538; after frame 1 that is a
+    # few thousand -- overflow candidates wait for the next frame).
+    new_surfel_capacity: int = 16384
+    # Per-pixel projection layers.  The reference keeps 16 (nodes.py:379);
+    # beyond ~4 the deeper layers are almost never occupied, and the layer
+    # pair-merge loop is O(depth^2), so 4 is the TPU default (overflow
+    # surfels are deleted exactly as the reference deletes beyond-16 ones).
+    proj_map_depth: int = 4
     track_capacity: int = 20              # tracked GT points (reference: 20)
 
 

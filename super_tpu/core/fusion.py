@@ -224,10 +224,28 @@ def fuse_frame(cfg: SuPerConfig, intr: Intrinsics, surfels: SurfelState,
 
     # --- stage 4: add unmatched candidates into free slots ----------------
     if not cfg.disable_adding_new_surfels:
+        # Compact the add candidates to new_surfel_capacity rows before the
+        # ED-anchoring KNN: after frame 1 only a few thousand pixels are
+        # unmatched, so anchoring all H*W pixel slots (the dense-masked
+        # equivalent of nodes.py:486-500) would waste a full-image KNN.
+        a_cap = cfg.capacity.new_surfel_capacity
+        cand_rank = jnp.cumsum(add_mask) - 1
+        comp_slot = jnp.where(add_mask & (cand_rank < a_cap), cand_rank, a_cap)
+        comp_src = jnp.full((a_cap,), p, dtype=jnp.int32).at[comp_slot].set(
+            jnp.arange(p, dtype=jnp.int32), mode="drop")
+        comp_valid = comp_src < p
+        comp_src = jnp.where(comp_valid, comp_src, 0)
+
+        def take_fm(a):
+            return gather_rows(a, comp_src)
+
+        c_points = take_fm(frame.points)
+        c_seg = frame.seg[comp_src]
+        c_seg_conf = take_fm(frame.seg_conf)
         knn_idx, knn_w, stable = anchor_points(
-            cfg, graph, frame.points, add_mask,
-            seg=frame.seg, seg_conf=frame.seg_conf)
-        add = add_mask & stable
+            cfg, graph, c_points, comp_valid, seg=c_seg,
+            seg_conf=c_seg_conf)
+        add = comp_valid & stable
 
         n = surfels.capacity
         free = ~surfels.active
@@ -235,8 +253,8 @@ def fuse_frame(cfg: SuPerConfig, intr: Intrinsics, surfels: SurfelState,
         slot_by_rank = jnp.full((n,), n, dtype=jnp.int32).at[
             jnp.where(free, free_rank, n)].set(
                 jnp.arange(n, dtype=jnp.int32), mode="drop")
-        cand_rank = jnp.cumsum(add) - 1
-        target = jnp.where(add, slot_by_rank[jnp.clip(cand_rank, 0, n - 1)], n)
+        add_rank = jnp.cumsum(add) - 1
+        target = jnp.where(add, slot_by_rank[jnp.clip(add_rank, 0, n - 1)], n)
 
         def scat_fm(dst, src):
             rows = [dst[f].at[target].set(src[f], mode="drop")
@@ -247,18 +265,18 @@ def fuse_frame(cfg: SuPerConfig, intr: Intrinsics, surfels: SurfelState,
             return dst.at[target].set(src, mode="drop")
 
         surfels = surfels._replace(
-            points=scat_fm(surfels.points, frame.points),
-            norms=scat_fm(surfels.norms, frame.norms),
-            colors=scat_fm(surfels.colors, frame.colors),
-            radii=scat(surfels.radii, frame.radii),
-            confs=scat(surfels.confs, frame.confs),
+            points=scat_fm(surfels.points, c_points),
+            norms=scat_fm(surfels.norms, take_fm(frame.norms)),
+            colors=scat_fm(surfels.colors, take_fm(frame.colors)),
+            radii=scat(surfels.radii, frame.radii[comp_src]),
+            confs=scat(surfels.confs, frame.confs[comp_src]),
             time_stamp=scat(surfels.time_stamp,
-                            jnp.full((p,), time, dtype=jnp.float32)),
+                            jnp.full((a_cap,), time, dtype=jnp.float32)),
             knn_idx=scat_fm(surfels.knn_idx, knn_idx),
             knn_w=scat_fm(surfels.knn_w, knn_w),
-            seg=scat(surfels.seg, frame.seg),
-            seg_conf=scat_fm(surfels.seg_conf, frame.seg_conf),
-            dist2edge=scat(surfels.dist2edge, frame.dist2edge),
+            seg=scat(surfels.seg, c_seg),
+            seg_conf=scat_fm(surfels.seg_conf, c_seg_conf),
+            dist2edge=scat(surfels.dist2edge, frame.dist2edge[comp_src]),
             active=surfels.active.at[target].set(True, mode="drop"),
         )
 

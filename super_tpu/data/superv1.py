@@ -52,15 +52,45 @@ def _load_disp(path, ext):
 
 
 def load_sequence(cfg: SuPerConfig, args) -> tuple:
-    """Load frames [start_id, end_id) of a SuPer-layout directory."""
+    """Load frames [start_id, end_id) of a SuPer-layout directory.
+
+    Uses the native C++ prefetching loader (super_tpu/runtime) for the
+    depth+RGB pairs when available; falls back to PIL/numpy."""
     data_dir = os.path.expanduser(args.data_dir)
-    depths, colors, segs, seg_confs, ids = [], [], [], [], []
+    pairs = []
     for fid in range(args.start_id, args.end_id):
         name = f"{fid:06d}"
-        rgb_path = os.path.join(data_dir, args.rgb_dir, f"{name}-left{args.img_ext}")
-        dep_path = os.path.join(data_dir, args.depth_dir, f"{name}{args.depth_ext}")
-        if not (os.path.exists(rgb_path) and os.path.exists(dep_path)):
-            continue
+        rgb_path = os.path.join(data_dir, args.rgb_dir,
+                                f"{name}-left{args.img_ext}")
+        dep_path = os.path.join(data_dir, args.depth_dir,
+                                f"{name}{args.depth_ext}")
+        if os.path.exists(rgb_path) and os.path.exists(dep_path):
+            pairs.append((fid, dep_path, rgb_path))
+
+    depths, colors, segs, seg_confs, ids = [], [], [], [], []
+    native = None
+    if pairs and args.depth_ext == ".npy" and args.img_ext == ".png" \
+            and not cfg.load_seg:
+        try:
+            from super_tpu.runtime import NativeSequenceLoader, native_available
+            if native_available():
+                native = NativeSequenceLoader(
+                    [p[1] for p in pairs], [p[2] for p in pairs],
+                    cfg.height, cfg.width, min_depth=cfg.min_depth,
+                    max_depth=cfg.max_depth)
+        except Exception:
+            native = None
+    if native is not None:
+        with native as ld:
+            for i, depth, rgb in ld:
+                depths.append(depth)
+                colors.append(rgb.transpose(1, 2, 0))
+                ids.append(pairs[i][0])
+        return _finish(cfg, args, data_dir, depths, colors, segs, seg_confs,
+                       ids)
+
+    for fid, dep_path, rgb_path in pairs:
+        name = f"{fid:06d}"
         colors.append(_load_image(rgb_path))
         disp = _load_disp(dep_path, args.depth_ext)
         _, depth = disp_to_depth(disp, cfg.min_depth, cfg.max_depth)
@@ -73,7 +103,10 @@ def load_sequence(cfg: SuPerConfig, args) -> tuple:
                 conf = np.load(seg_path).astype(np.float32)  # (C, H, W)
                 seg_confs.append(conf)
                 segs.append(conf.argmax(0).astype(np.int32))
+    return _finish(cfg, args, data_dir, depths, colors, segs, seg_confs, ids)
 
+
+def _finish(cfg, args, data_dir, depths, colors, segs, seg_confs, ids):
     if not depths:
         raise FileNotFoundError(f"no frames found under {data_dir}")
 

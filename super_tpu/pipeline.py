@@ -28,7 +28,9 @@ from super_tpu.utils import evaluation
 class SuPerPipeline:
     """Single-stream tracking pipeline."""
 
-    def __init__(self, cfg: SuPerConfig, intr: Intrinsics):
+    def __init__(self, cfg: SuPerConfig, intr: Intrinsics,
+                 logdir: Optional[str] = None,
+                 checkpoint_dir: Optional[str] = None):
         self.cfg = cfg
         self.intr = intr
         self._preprocess = jax.jit(
@@ -41,6 +43,16 @@ class SuPerPipeline:
         self.track_results: Dict[int, np.ndarray] = {}
         self.errors: Dict[int, np.ndarray] = {}
         self.frame_times = []
+        self.logger = None
+        if logdir is not None:
+            from super_tpu.utils.viz import TrackingLogger
+
+            self.logger = TrackingLogger(logdir)
+        self.checkpoint_dir = checkpoint_dir
+        from super_tpu.render.splat import render_zbuffer
+
+        self._render = jax.jit(functools.partial(
+            render_zbuffer, intr=intr, height=cfg.height, width=cfg.width))
 
     def run(self, depths, colors, gt_xy=None, gt_valid=None,
             segs=None, seg_confs=None, verbose: bool = False):
@@ -65,6 +77,7 @@ class SuPerPipeline:
             frame = self._preprocess(jnp.asarray(depths[t]),
                                      jnp.asarray(color),
                                      jnp.float32(t), **kw)
+            outs = None
             if self.state is None:
                 self.state = self._init(frame)
             else:
@@ -78,7 +91,43 @@ class SuPerPipeline:
                 n = int(self.state.surfels.num_active)
                 print(f"frame {t}: {n} surfels, "
                       f"{self.frame_times[-1]*1e3:.1f} ms")
+            if t % self.cfg.save_sample_freq == 0:
+                self._observe(t, frame, depths[t], outs, gt_xy)
+        if self.logger is not None and self.errors:
+            last_t = max(self.errors)
+            self.logger.log_trackpts_plots(last_t, self.errors,
+                                           self.track_results,
+                                           np.asarray(gt_xy))
         return self.summary()
+
+    def _observe(self, t, frame, depth, outs, gt_xy):
+        """Periodic logging + checkpointing (reference save_sample_freq
+        behavior, nodes.py:591-627)."""
+        if self.logger is not None:
+            if outs is not None:
+                self.logger.log_step(t, outs, self.frame_times[-1] * 1e3)
+            self.logger.log_reproj(t, self.errors, self.cfg.edge_ids)
+            sf = self.state.surfels
+            render = np.asarray(self._render(sf.points, sf.colors, sf.active))
+            kp = None
+            if self.track_results.get(t) is not None:
+                est = self.track_results[t]
+                kp = est[est[:, 2] > 0][:, :2]
+            g = self.state.graph
+            from super_tpu.geometry.camera import project_points
+
+            gv, gu, _, _ = project_points(g.points.T, self.intr,
+                                          self.cfg.height, self.cfg.width)
+            mesh_xy = np.stack([np.asarray(gu), np.asarray(gv)], axis=1)
+            edges = np.asarray(g.edges)[np.asarray(g.edge_active)]
+            self.logger.log_images(
+                t, np.asarray(frame.color_image), depth=np.asarray(depth),
+                render_chw=render, keypoints_xy=kp,
+                mesh_points_xy=mesh_xy, mesh_edges=edges)
+        if self.checkpoint_dir is not None:
+            from super_tpu.utils.checkpoint import save_state
+
+            save_state(self.checkpoint_dir, self.state, step=t)
 
     def _eval_frame(self, t, frame, gt_xy_t, gt_valid_t):
         track = self._assign(self.state.surfels, frame, self.state.track,
