@@ -34,6 +34,47 @@ from super_tpu.geometry.camera import Intrinsics
 from super_tpu.geometry.quaternion import IDENTITY_DQ
 
 
+def _block_jacobi_pcg(a, b, j_cap: int, iterations: int):
+    """Preconditioned conjugate gradients on the (scaled) normal system.
+
+    Preconditioner: inverted 7x7 diagonal node blocks.  A fixed trip count
+    keeps the solve branch-free (inexact Newton; the LM accept/reject loop
+    absorbs solve error).  This is the path that scales to dense ED graphs
+    where a 7J x 7J Cholesky becomes the bottleneck (BASELINE dense config).
+    """
+    dim = 7 * j_cap
+    blocks = a.reshape(j_cap, 7, j_cap, 7)
+    diag = blocks[jnp.arange(j_cap), :, jnp.arange(j_cap), :]  # (J, 7, 7)
+    eye7 = jnp.eye(7, dtype=a.dtype)
+    diag_inv = jnp.linalg.inv(diag + 1e-8 * eye7)
+
+    def precond(r):
+        return jnp.einsum("jab,jb->ja", diag_inv,
+                          r.reshape(j_cap, 7)).reshape(dim)
+
+    x0 = jnp.zeros_like(b)
+    r0 = b
+    z0 = precond(r0)
+    p0 = z0
+    rz0 = r0 @ z0
+
+    def body(_, carry):
+        x, r, p, rz = carry
+        ap = a @ p
+        denom = p @ ap
+        alpha = jnp.where(jnp.abs(denom) > 1e-30, rz / denom, 0.0)
+        x = x + alpha * p
+        r = r - alpha * ap
+        z = precond(r)
+        rz_new = r @ z
+        beta = jnp.where(jnp.abs(rz) > 1e-30, rz_new / rz, 0.0)
+        p = z + beta * p
+        return x, r, p, rz_new
+
+    x, _, _, _ = jax.lax.fori_loop(0, iterations, body, (x0, r0, p0, rz0))
+    return x
+
+
 class LMResult(NamedTuple):
     beta: jnp.ndarray        # (J_cap, 7) final deformation parameters
     cost: jnp.ndarray        # () final accepted cost
@@ -58,23 +99,34 @@ def lm_solve(cfg: SuPerConfig, ctx: LMContext, intr: Intrinsics,
     if cfg.solver.association == "per_frame" and cfg.losses.sf_point_plane:
         assoc = associate(cfg, ctx, beta0, intr)
 
+    def solve_damped(a, rhs):
+        """Solve the damped, Jacobi-scaled normal system.
+
+        Symmetric diagonal scaling first: the q- and b-columns differ in
+        magnitude by ~1e3 (projection chain vs unit translations), which
+        squares into the normal matrix; scaling recovers ~6 digits of f32
+        accuracy.  The solution is mathematically unchanged (the reference
+        solves raw in f64, super/LM.py:58-59).
+        """
+        d = jnp.sqrt(jnp.maximum(jnp.diagonal(a), 1e-20))
+        inv_d = 1.0 / d
+        a_s = a * inv_d[:, None] * inv_d[None, :]
+        b_s = rhs * inv_d
+        if cfg.solver.linear_solver == "pcg":
+            x = _block_jacobi_pcg(a_s, b_s, j_cap,
+                                  cfg.solver.pcg_iterations)
+        else:
+            chol = jnp.linalg.cholesky(a_s)
+            x = jax.scipy.linalg.cho_solve((chol, True), b_s)
+        return x * inv_d
+
     def body(_, carry):
         beta, best_beta, best_cost, u = carry
         jtj, jtr = assemble_normal_equations(cfg, ctx, beta, intr,
                                              axis_name=axis_name,
                                              assoc=assoc)
         a = jtj + u * eye
-        # Jacobi (symmetric diagonal) scaling before the factorization: the
-        # q- and b-columns differ in magnitude by ~1e3 (projection chain vs
-        # unit translations), which squares into the normal matrix; scaling
-        # recovers ~6 digits of f32 accuracy in the solve.  The solution is
-        # mathematically unchanged (reference solves the raw system in f64,
-        # super/LM.py:58-59).
-        d = jnp.sqrt(jnp.maximum(jnp.diagonal(a), 1e-20))
-        inv_d = 1.0 / d
-        a_s = a * inv_d[:, None] * inv_d[None, :]
-        chol = jnp.linalg.cholesky(a_s)
-        delta = jax.scipy.linalg.cho_solve((chol, True), jtr * inv_d) * inv_d
+        delta = solve_damped(a, jtr)
         ok = jnp.all(jnp.isfinite(delta))
         delta = jnp.where(ok, delta, 0.0).reshape(j_cap, 7)
         beta_new = beta + delta

@@ -126,6 +126,33 @@ def chamfer_distance_transform(mask, step_x: float, step_y: float,
     return d
 
 
+def stereo_ssim_confidence(cfg: SuPerConfig, intr: Intrinsics, points,
+                           color, baseline_tx: float = -0.1):
+    """Depth self-consistency confidence via stereo reprojection SSIM.
+
+    Parity: data_loader.py:359-372 -- the left image is warped through the
+    predicted geometry with the stereo baseline (Project3D) and compared to
+    itself with SSIM; high structural agreement means reliable depth.
+    (The reference's skimage SSIM uses a 7x7 uniform window; ours uses the
+    monodepth2 3x3 form -- both feed a sigmoid, the ranking is what
+    matters.)  Returns an (H, W) score in [-1, 1].
+    """
+    from super_tpu.geometry.camera import warp_stereo_coords
+    from super_tpu.ops.bilinear import bilinear_sample_image
+    from super_tpu.ops.ssim import ssim
+
+    h, w = cfg.height, cfg.width
+    grid = warp_stereo_coords(points, intr, baseline_tx, h, w)  # (H, W, 2)
+    u = (grid[..., 0] + 1.0) * 0.5 * (w - 1)
+    v = (grid[..., 1] + 1.0) * 0.5 * (h - 1)
+    u = jnp.nan_to_num(u, nan=-10.0)
+    v = jnp.nan_to_num(v, nan=-10.0)
+    warped, _ = bilinear_sample_image(color, v.reshape(-1), u.reshape(-1))
+    warped = warped.T.reshape(3, h, w)
+    dissim = jnp.mean(ssim(warped, color, kernel=3), axis=0)
+    return 1.0 - 2.0 * dissim
+
+
 def compute_invalid_mask(cfg: SuPerConfig, depth, seg=None, valid_mask=None):
     """Dataset-specific invalid-region rules (data_loader.py:374-433).
 
@@ -202,6 +229,8 @@ def preprocess_frame(
                           jnp.arange(h, dtype=jnp.float32), indexing="xy")
     dc2 = (2.0 * uu / w - 1.0) ** 2 + (2.0 * vv / h - 1.0) ** 2
     confs = jnp.exp(-dc2 * DIVTERM)
+    if not cfg.disable_ssim_conf and disp_conf is None:
+        disp_conf = stereo_ssim_confidence(cfg, intr, points, color)
     if disp_conf is not None and not cfg.disable_ssim_conf:
         confs = 0.5 * confs + 0.5 * jax.nn.sigmoid(disp_conf)
 

@@ -55,15 +55,20 @@ class SuPerPipeline:
             render_zbuffer, intr=intr, height=cfg.height, width=cfg.width))
 
     def run(self, depths, colors, gt_xy=None, gt_valid=None,
-            segs=None, seg_confs=None, verbose: bool = False):
+            segs=None, seg_confs=None, right_colors=None, models=None,
+            verbose: bool = False):
         """Track a whole sequence.
 
         Args:
-          depths: (T, H, W); colors: (T, H, W, 3) numpy arrays.
+          depths: (T, H, W) numpy, or None to infer depth with ``models``
+            (the reference's pred_depth path, super/super.py:36-38).
+          colors: (T, H, W, 3) or (T, 3, H, W) numpy arrays.
           gt_xy: optional (T, P, 2) GT screen coords; gt_valid: (T, P) bool.
+          right_colors: right stereo images (for raft_stereo depth).
+          models: super_tpu.factory.Models for in-the-loop perception.
         Returns: summary metrics dict.
         """
-        num_frames = len(depths)
+        num_frames = len(colors)
         for t in range(num_frames):
             tic = _time.perf_counter()
             kw = {}
@@ -74,9 +79,25 @@ class SuPerPipeline:
             color = np.asarray(colors[t])
             if color.shape[-1] == 3:  # HWC -> CHW
                 color = color.transpose(2, 0, 1)
-            frame = self._preprocess(jnp.asarray(depths[t]),
-                                     jnp.asarray(color),
-                                     jnp.float32(t), **kw)
+            color = jnp.asarray(color)
+            if depths is not None:
+                depth_t = jnp.asarray(depths[t])
+            else:
+                from super_tpu.factory import predict_frame_inputs
+
+                right = None
+                if right_colors is not None:
+                    right = np.asarray(right_colors[t])
+                    if right.shape[-1] == 3:
+                        right = right.transpose(2, 0, 1)
+                    right = jnp.asarray(right)
+                pred = predict_frame_inputs(self.cfg, models, color,
+                                            right_color_chw=right)
+                depth_t = pred["depth"]
+                if "seg" in pred and "seg" not in kw:
+                    kw["seg"] = pred["seg"]
+                    kw["seg_conf"] = pred["seg_conf"]
+            frame = self._preprocess(depth_t, color, jnp.float32(t), **kw)
             outs = None
             if self.state is None:
                 self.state = self._init(frame)
@@ -92,7 +113,7 @@ class SuPerPipeline:
                 print(f"frame {t}: {n} surfels, "
                       f"{self.frame_times[-1]*1e3:.1f} ms")
             if t % self.cfg.save_sample_freq == 0:
-                self._observe(t, frame, depths[t], outs, gt_xy)
+                self._observe(t, frame, depth_t, outs, gt_xy)
         if self.logger is not None and self.errors:
             last_t = max(self.errors)
             self.logger.log_trackpts_plots(last_t, self.errors,

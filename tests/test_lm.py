@@ -162,6 +162,32 @@ def test_f32_assembly_close_to_f64(scene, tracker0):
     assert float(jnp.linalg.norm(jtj32.astype(jnp.float64) - jtj64)) / denom < 1e-4
 
 
+def test_pcg_solver_matches_cholesky(scene, tracker0):
+    """Block-Jacobi PCG must reach the Cholesky solution on the real damped
+    normal system (dense-graph scalability path)."""
+    import dataclasses
+
+    cfg, intr, seq, frames = scene
+    st = tracker0
+    ctx = prepare_lm(cfg, st.surfels, st.graph, frames[1])
+    j_cap = ctx.ed_mask.shape[0]
+    beta = jnp.tile(IDENTITY_DQ[None], (j_cap, 1))
+    jtj, jtr = assemble_normal_equations(cfg, ctx, beta, intr)
+    a = jtj + 10.0 * jnp.eye(7 * j_cap)
+
+    from super_tpu.core.lm import _block_jacobi_pcg
+
+    d = jnp.sqrt(jnp.maximum(jnp.diagonal(a), 1e-20))
+    a_s = a / d[:, None] / d[None, :]
+    b_s = jtr / d
+    x_chol = jax.scipy.linalg.cho_solve(
+        (jnp.linalg.cholesky(a_s), True), b_s)
+    x_pcg = _block_jacobi_pcg(a_s, b_s, j_cap, 128)
+    denom = float(jnp.linalg.norm(x_chol)) + 1e-12
+    rel = float(jnp.linalg.norm(x_pcg - x_chol)) / denom
+    assert rel < 5e-3, rel
+
+
 def test_lm_descends_and_tracks_motion(scene, tracker0):
     """Solving frame t=3 from the t=0 model must reduce the cost and move
     surfels toward the deformed surface."""

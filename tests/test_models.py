@@ -157,3 +157,61 @@ def test_convert_torch_resnet_full():
     feats = enc.apply(params, jnp.ones((1, 32, 32, 3)))
     assert [f.shape[-1] for f in feats] == [64, 64, 128, 256, 512]
     assert all(np.isfinite(np.asarray(f)).all() for f in feats)
+
+
+def test_pose_nets(key):
+    from super_tpu.models.pose import (PoseCNN, PoseDecoder,
+                                       transformation_from_parameters)
+    from super_tpu.models.resnet import ResNetEncoder
+
+    imgs = jax.random.uniform(key, (1, 64, 64, 6))
+    cnn = PoseCNN(num_input_frames=2)
+    p = cnn.init(key, imgs)
+    aa, t = cnn.apply(p, imgs)
+    assert aa.shape == (1, 1, 1, 3) and t.shape == (1, 1, 1, 3)
+    m = transformation_from_parameters(aa[:, 0], t[:, 0])
+    assert m.shape == (1, 1, 4, 4)
+    # Invert composes to identity.
+    mi = transformation_from_parameters(aa[:, 0], t[:, 0], invert=True)
+    np.testing.assert_allclose(np.asarray(m @ mi)[0, 0], np.eye(4), atol=1e-5)
+
+    enc = ResNetEncoder(num_layers=18)
+    ep = enc.init(key, imgs[..., :3])
+    feats = enc.apply(ep, imgs[..., :3])
+    dec = PoseDecoder(num_input_features=1)
+    dp = dec.init(key, [feats])
+    aa2, t2 = dec.apply(dp, [feats])
+    assert aa2.shape == (1, 1, 1, 3)
+
+
+def test_gaussian_blur_normalized(key):
+    from super_tpu.ops.blur import gaussian_blur
+
+    x = jnp.ones((16, 24))
+    y = gaussian_blur(x, kernel=15)
+    # Interior preserved for a constant image.
+    np.testing.assert_allclose(np.asarray(y)[8, 12], 1.0, atol=1e-5)
+    # Smooths noise: variance shrinks.
+    n = jax.random.normal(key, (32, 48))
+    assert float(gaussian_blur(n, 15)[8:-8, 8:-8].var()) < float(n.var()) / 5
+
+
+def test_stereo_ssim_confidence_prefers_consistent_depth():
+    from super_tpu.config import SuPerConfig
+    from super_tpu.core.preprocess import stereo_ssim_confidence
+    from super_tpu.data.synthetic import default_intrinsics, generate
+    from super_tpu.geometry.camera import backproject_depth
+
+    h, w = 48, 64
+    cfg = SuPerConfig(height=h, width=w)
+    intr = default_intrinsics(h, w)
+    seq = generate(1, h, w, intr=intr)
+    depth = jnp.asarray(seq.depths[0])
+    color = jnp.asarray(seq.colors[0].transpose(2, 0, 1))
+    pts = backproject_depth(depth, intr)
+    conf_good = stereo_ssim_confidence(cfg, intr, pts, color)
+    pts_bad = backproject_depth(depth * (1 + 0.3 * jnp.sin(
+        jnp.arange(h * w).reshape(h, w) * 0.37)), intr)
+    conf_bad = stereo_ssim_confidence(cfg, intr, pts_bad, color)
+    assert float(conf_good[8:-8, 8:-8].mean()) > \
+        float(conf_bad[8:-8, 8:-8].mean())
