@@ -57,13 +57,13 @@ class SolverConfig:
     pcg_tol: float = 1e-12
     # Surfel-chunk size for streaming the JTJ assembly (bounds peak memory
     # of the chain-rule temporaries; no effect on results).
-    assembly_chunk: int = 32768
+    assembly_chunk: int = 65536
     # JTJ assembly strategy: "tuple" groups surfels by anchor tuple and
     # reduces on the MXU (fast on TPU); "scatter" is the direct scatter-add
     # reference path (used by tests and the sharded dry run).
     assembly_mode: str = "tuple"
-    assembly_tuple_cap: int = 8192   # max distinct anchor tuples per frame
-    assembly_pad_group: int = 16     # tuple runs padded to multiples of this
+    assembly_tuple_cap: int = 4096   # max distinct anchor tuples per frame
+    assembly_pad_group: int = 32     # tuple runs padded to multiples of this
     # Data association for the point-plane term:
     #   "per_iteration": re-project + re-sample the target maps inside every
     #     LM iteration (reference semantics, super/loss.py:222-248) --

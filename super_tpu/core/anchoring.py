@@ -53,10 +53,11 @@ def _jsd_channelwise(graph_conf_t, idx, q_conf):
     Returns (K, N).  Channel-wise rank-1 gathers keep buffers compact.
     """
     c = graph_conf_t.shape[0]
+    ps = jnp.take(graph_conf_t, idx, axis=-1)  # (C, K, N), one gather
     kl_pm = 0.0
     kl_qm = 0.0
     for ch in range(c):
-        p = graph_conf_t[ch][idx]          # (K, N)
+        p = ps[ch]                         # (K, N)
         q = q_conf[ch][None, :]            # (1, N)
         m = 0.5 * (p + q)
         kl_pm = kl_pm + p * jnp.log(p / (m + _JSD_EPS) + _JSD_EPS)
@@ -115,12 +116,9 @@ def recompute_surfel_weights(cfg: SuPerConfig, surfels: SurfelState,
     """Refresh knn_w from current positions, keeping anchor indices
     (fusion step, nodes.py:466-484)."""
     idx = surfels.knn_idx                   # (K, N)
-    gp_t = graph.points.T                   # (3, J)
-    d2 = 0.0
-    for ch in range(3):
-        diff = surfels.points[ch][None, :] - gp_t[ch][idx]
-        d2 = d2 + diff * diff
-    dists = jnp.sqrt(d2)                    # (K, N)
+    anchors = jnp.take(graph.points.T, idx, axis=-1)  # (3, K, N)
+    diff = surfels.points[:, None, :] - anchors
+    dists = jnp.sqrt(jnp.sum(diff * diff, axis=0))    # (K, N)
     radii = graph.radii[idx]
     finite = jnp.ones_like(dists, dtype=bool)
     w = _anchor_weights(cfg, graph, idx, dists, radii, finite,

@@ -83,21 +83,28 @@ def build_projection_maps(cfg: SuPerConfig, intr: Intrinsics,
     return proj_id, overflow
 
 
-class _View(Tuple):
-    pass
+def _pack_bank(points, norms, colors, radii, confs, seg, seg_conf):
+    """Pack the merge-relevant fields into one (F, N) bank so a merge stage
+    costs ONE minor-axis gather instead of ~11 (4x on TPU)."""
+    return jnp.concatenate([
+        points, norms, colors,
+        radii[None], confs[None], seg.astype(points.dtype)[None],
+        seg_conf,
+    ], axis=0)
 
 
-def _gathered(s, sl):
-    """Channel-wise gather of the merge-relevant surfel fields at slots sl."""
+def _unpack_bank(bank):
+    c = bank.shape[0] - 12
     return dict(
-        points=gather_rows(s.points, sl),
-        norms=gather_rows(s.norms, sl),
-        colors=gather_rows(s.colors, sl),
-        radii=s.radii[sl],
-        confs=s.confs[sl],
-        seg=s.seg[sl],
-        seg_conf=gather_rows(s.seg_conf, sl),
+        points=bank[0:3], norms=bank[3:6], colors=bank[6:9],
+        radii=bank[9], confs=bank[10],
+        seg=bank[11].astype(jnp.int32), seg_conf=bank[12:12 + c],
     )
+
+
+def _gathered(bank, sl):
+    """One-gather fetch of the merge-relevant surfel fields at slots sl."""
+    return _unpack_bank(gather_rows(bank, sl))
 
 
 def _frame_fields(f: FrameData):
@@ -176,36 +183,75 @@ def fuse_frame(cfg: SuPerConfig, intr: Intrinsics, surfels: SurfelState,
     frame_f = _frame_fields(frame)
 
     # --- stage 2: merge candidates into layer surfels ---------------------
+    def bank_of(s):
+        return _pack_bank(s.points, s.norms, s.colors, s.radii, s.confs,
+                          s.seg, s.seg_conf)
+
+    fbank = _pack_bank(frame.points, frame.norms, frame.colors, frame.radii,
+                       frame.confs, frame.seg, frame.seg_conf)
+    depth_l = cfg.capacity.proj_map_depth
+
+    # Compact the sparse layers (>= 1): after frame 1, only a few percent of
+    # pixels carry more than one projected surfel, so the deeper-layer merge
+    # stages run on p/8-sized entry lists instead of full images.
+    p8 = max(p // 8, 1024)
+    compact_pix = []
+    for l in range(1, depth_l):
+        occ = layer_occupied[l]
+        rank = jnp.cumsum(occ) - 1
+        slot = jnp.where(occ & (rank < p8), rank, p8)
+        pix = jnp.full((p8,), p, dtype=jnp.int32).at[slot].set(
+            jnp.arange(p, dtype=jnp.int32), mode="drop")
+        cvalid = pix < p
+        compact_pix.append((jnp.where(cvalid, pix, 0), cvalid))
+
     cand_left = frame.valid & layer_occupied[0]
     add_mask = frame.valid & ~layer_occupied[0]
     if not cfg.disable_merging_new_surfels:
-        for i in range(cfg.capacity.proj_map_depth):
-            sl = jnp.clip(proj_id[i], 0, surfels.capacity - 1)
-            try_merge = cand_left & layer_occupied[i]
-            sview = _gathered(surfels, sl)
-            gate = _merge_gate(cfg, sview, frame_f)
-            do = try_merge & gate
-            vals = _merged_values(cfg, sview, frame_f, time,
-                                  triple_new_color=True)
-            surfels = _scatter_merge(surfels, sl, do, vals)
-            cand_left = cand_left & ~do
+        for i in range(depth_l):
+            if i == 0:
+                sl = jnp.clip(proj_id[0], 0, surfels.capacity - 1)
+                try_merge = cand_left & layer_occupied[0]
+                sview = _gathered(bank_of(surfels), sl)
+                gate = _merge_gate(cfg, sview, frame_f)
+                do = try_merge & gate
+                vals = _merged_values(cfg, sview, frame_f, time,
+                                      triple_new_color=True)
+                surfels = _scatter_merge(surfels, sl, do, vals)
+                cand_left = cand_left & ~do
+            else:
+                pix, cvalid = compact_pix[i - 1]
+                sl = jnp.clip(proj_id[i][pix], 0, surfels.capacity - 1)
+                try_merge = cand_left[pix] & cvalid
+                sview = _gathered(bank_of(surfels), sl)
+                fview = _unpack_bank(gather_rows(fbank, pix))
+                gate = _merge_gate(cfg, sview, fview)
+                do = try_merge & gate
+                vals = _merged_values(cfg, sview, fview, time,
+                                      triple_new_color=True)
+                surfels = _scatter_merge(surfels, sl, do, vals)
+                cand_left = cand_left.at[pix].set(
+                    jnp.where(do, False, cand_left[pix]), mode="drop")
         add_mask = add_mask | cand_left
     else:
         add_mask = frame.valid
 
     # --- stage 3: merge duplicate surfels across layers -------------------
+    # Pairs iterate over layer j's compact entry list (j >= 1 always);
+    # layer-alive bookkeeping stays full-resolution booleans (cheap).
     remap = jnp.arange(surfels.capacity, dtype=jnp.int32)
     if not cfg.disable_merging_exist_surfels:
         alive_layer = layer_occupied
-        depth_l = cfg.capacity.proj_map_depth
         active = surfels.active
         for i in range(depth_l):
-            sl_i = jnp.clip(proj_id[i], 0, surfels.capacity - 1)
             for j in range(i + 1, depth_l):
-                sl_j = jnp.clip(proj_id[j], 0, surfels.capacity - 1)
-                both = alive_layer[i] & alive_layer[j]
-                vi = _gathered(surfels, sl_i)
-                vj = _gathered(surfels, sl_j)
+                pix, cvalid = compact_pix[j - 1]
+                sl_i = jnp.clip(proj_id[i][pix], 0, surfels.capacity - 1)
+                sl_j = jnp.clip(proj_id[j][pix], 0, surfels.capacity - 1)
+                both = cvalid & alive_layer[i][pix] & alive_layer[j][pix]
+                bank = bank_of(surfels)
+                vi = _gathered(bank, sl_i)
+                vj = _gathered(bank, sl_j)
                 do = both & _merge_gate(cfg, vi, vj)
                 vals = _merged_values(cfg, vi, vj, time,
                                       triple_new_color=False)
@@ -216,7 +262,8 @@ def fuse_frame(cfg: SuPerConfig, intr: Intrinsics, surfels: SurfelState,
                 remap = remap.at[sl_j].set(
                     jnp.where(do, sl_i.astype(jnp.int32), remap[sl_j]),
                     mode="drop")
-                alive_layer = alive_layer.at[j].set(alive_layer[j] & ~do)
+                alive_layer = alive_layer.at[j, pix].set(
+                    jnp.where(do, False, alive_layer[j][pix]), mode="drop")
         surfels = surfels._replace(active=active)
 
     # --- stage 3.5: refresh anchor weights (nodes.py:466-484) -------------

@@ -106,9 +106,9 @@ def prepare_lm(cfg: SuPerConfig, surfels: SurfelState, graph: GraphState,
     # Packed anchors: row k*3+d of sf_knn is coordinate d of anchor k.
     k = sf_knn_idx.shape[0]
     gp_t = graph.points.T              # (3, J)
-    sf_knn = jnp.concatenate(
-        [jnp.stack([gp_t[d][sf_knn_idx[kk]] for d in range(3)])
-         for kk in range(k)], axis=0)  # (K*3, Np)
+    npts = sf_knn_idx.shape[-1]
+    sf_knn = jnp.take(gp_t, sf_knn_idx, axis=-1)  # (3, K, Np), one gather
+    sf_knn = jnp.moveaxis(sf_knn, 0, 1).reshape(3 * k, npts)  # k-major pack
     sf_diff = jnp.tile(sf_points, (k, 1)) - sf_knn
 
     ed_knn_idx = graph.knn_idx

@@ -33,8 +33,8 @@ def _warp_chunk(cfg, graph_points_t, beta, global_dq, chunk):
     pts = pts_fm.T                       # (C, 3)
     idx = idx_fm.T                       # (C, K)
     w = w_fm.T                           # (C, K)
-    anchors = jnp.stack(
-        [graph_points_t[d][idx] for d in range(3)], axis=-1)  # (C, K, 3)
+    anchors = jnp.moveaxis(jnp.take(graph_points_t, idx, axis=-1),
+                           0, -1)        # (C, K, 3)
     diff = pts[:, None, :] - anchors
     beta_k = beta[idx]                   # (C, K, 7)
 

@@ -62,8 +62,8 @@ def bilinear_sample_indexed(features_fm, index_map, v, u, *,
     corner_valid = (sf_idx >= 0) & in_bounds
     safe_idx = jnp.clip(sf_idx, 0, m - 1)
 
-    gathered = jnp.stack([features_fm[c][safe_idx] for c in range(f)],
-                         axis=-1)  # (N, 4, F)
+    gathered = jnp.moveaxis(jnp.take(features_fm, safe_idx, axis=-1),
+                            0, -1)  # (N, 4, F): one minor-axis gather
     gathered = jnp.where(corner_valid[..., None], gathered, 0.0)
 
     dn = n_blk - v[:, None]
@@ -104,8 +104,7 @@ def bilinear_sample_two(features_a, features_b, index_map, v, u, *,
     safe_idx = jnp.clip(sf_idx, 0, m - 1)
 
     def gath(feats):
-        g = jnp.stack([feats[c][safe_idx] for c in range(feats.shape[0])],
-                      axis=-1)
+        g = jnp.moveaxis(jnp.take(feats, safe_idx, axis=-1), 0, -1)
         return jnp.where(corner_valid[..., None], g, 0.0)
 
     ga, gb = gath(features_a), gath(features_b)
@@ -137,7 +136,9 @@ def bilinear_sample_image(image_fm, v, u):
     mask)."""
     f, h, w = image_fm.shape
     n_blk, m_blk, ni, mi, _ = _corners(v, u, h, w)
-    gathered = jnp.stack([image_fm[c][ni, mi] for c in range(f)], axis=-1)
+    flat = ni * w + mi
+    gathered = jnp.moveaxis(
+        jnp.take(image_fm.reshape(f, h * w), flat, axis=-1), 0, -1)
     wn = jnp.maximum(1.0 - jnp.abs(n_blk - v[:, None]), 0.0)
     wm = jnp.maximum(1.0 - jnp.abs(m_blk - u[:, None]), 0.0)
     values = jnp.sum(gathered * (wn * wm)[..., None], axis=1)

@@ -1,0 +1,126 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from helpers import tiny_scene
+
+from super_tpu.core.losses import prepare_lm
+from super_tpu.core.lm import lm_solve
+from super_tpu.core.tracker import init_tracker
+from super_tpu.parallel.mesh import make_mesh
+from super_tpu.parallel.sharded import make_batched_step, make_multichip_step
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return tiny_scene(num_frames=3)
+
+
+def _batch(tree, b):
+    return jax.tree.map(lambda x: jnp.broadcast_to(x[None], (b,) + x.shape),
+                        tree)
+
+
+def test_mesh_construction():
+    mesh = make_mesh(num_streams=4, num_shards=2)
+    assert dict(mesh.shape) == {"stream": 4, "shard": 2}
+    mesh = make_mesh()
+    assert mesh.shape["stream"] == len(jax.devices())
+
+
+def test_sharded_normal_equations_exact(scene):
+    """The surfel-sharded, psum-combined (JTJ, JTr) must equal the
+    single-device assembly (the only cross-chip traffic of the solver)."""
+    import dataclasses
+    import functools
+
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from super_tpu.core.losses import assemble_normal_equations
+    from super_tpu.geometry.quaternion import IDENTITY_DQ
+    from super_tpu.parallel.sharded import shard_ctx
+
+    cfg, intr, seq, frames = scene
+    cfg = cfg.replace(solver=dataclasses.replace(cfg.solver,
+                                                 assembly_mode="scatter"))
+    state = init_tracker(cfg, frames[0])
+    ctx = prepare_lm(cfg, state.surfels, state.graph, frames[1])
+    j_cap = cfg.capacity.node_capacity
+    beta = jnp.tile(IDENTITY_DQ[None], (j_cap, 1))
+
+    jtj_ref, jtr_ref = assemble_normal_equations(cfg, ctx, beta, intr)
+
+    mesh = make_mesh(num_streams=1, num_shards=8)
+
+    def local(c, b):
+        c = shard_ctx(c, "shard", 8)
+        return assemble_normal_equations(cfg, c, b, intr, axis_name="shard")
+
+    sharded = shard_map(local, mesh=mesh, in_specs=(P(), P()),
+                        out_specs=(P(), P()), check_rep=False)
+    jtj_s, jtr_s = jax.jit(sharded)(ctx, beta)
+
+    scale = float(jnp.max(jnp.abs(jtj_ref))) + 1e-12
+    np.testing.assert_allclose(np.asarray(jtj_s) / scale,
+                               np.asarray(jtj_ref) / scale, atol=2e-5)
+    rscale = float(jnp.max(jnp.abs(jtr_ref))) + 1e-12
+    np.testing.assert_allclose(np.asarray(jtr_s) / rscale,
+                               np.asarray(jtr_ref) / rscale, atol=2e-5)
+
+
+def test_multichip_step_matches_single(scene):
+    """Full sharded step vs single-device batched step: aggregate state
+    statistics agree (slot-exact equality is chaotic -- the near-zero-cost
+    solve is underdetermined and fusion slot allocation follows it)."""
+    cfg, intr, seq, frames = scene
+    state = init_tracker(cfg, frames[0])
+
+    b = 4
+    states = _batch(state, b)
+    fbatch = _batch(frames[1], b)
+
+    single = make_batched_step(cfg, intr)
+    s_state, s_outs = single(states, fbatch)
+
+    mesh = make_mesh(num_streams=4, num_shards=2)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sh = NamedSharding(mesh, P("stream"))
+    states_d = jax.tree.map(lambda x: jax.device_put(x, sh), states)
+    fbatch_d = jax.tree.map(lambda x: jax.device_put(x, sh), fbatch)
+    multi = make_multichip_step(cfg, intr, mesh)
+    m_state, m_outs = multi(states_d, fbatch_d)
+
+    assert (np.asarray(s_outs.lm_cost) < 1e-6).all()
+    assert (np.asarray(m_outs.lm_cost) < 1e-6).all()
+    ns = np.asarray(s_outs.num_surfels)
+    nm = np.asarray(m_outs.num_surfels)
+    assert np.abs(ns - nm).max() <= 0.05 * ns.max()
+    sm = np.asarray(s_state.surfels.points)[:, :,
+                                            np.asarray(s_state.surfels.active)[0]]
+    mm = np.asarray(m_state.surfels.points)[:, :,
+                                            np.asarray(m_state.surfels.active)[0]]
+    assert abs(sm.mean() - mm.mean()) < 1e-3
+
+
+def test_sharded_counts_match(scene):
+    cfg, intr, seq, frames = scene
+    state = init_tracker(cfg, frames[0])
+    b = 2
+    mesh = make_mesh(num_streams=2, num_shards=4)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sh = NamedSharding(mesh, P("stream"))
+    states = jax.tree.map(lambda x: jax.device_put(
+        jnp.broadcast_to(x[None], (b,) + x.shape), sh), state)
+    fbatch = jax.tree.map(lambda x: jax.device_put(
+        jnp.broadcast_to(x[None], (b,) + x.shape), sh), frames[2])
+    step = make_multichip_step(cfg, intr, mesh)
+    new_state, outs = step(states, fbatch)
+    n = np.asarray(outs.num_surfels)
+    assert (n > 1000).all()
+    assert np.isfinite(np.asarray(outs.lm_cost)).all()
