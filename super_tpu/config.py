@@ -64,6 +64,12 @@ class SolverConfig:
     assembly_mode: str = "tuple"
     assembly_tuple_cap: int = 4096   # max distinct anchor tuples per frame
     assembly_pad_group: int = 32     # tuple runs padded to multiples of this
+    # Gram-reduction backend for the tuple assembly: "xla" (batched einsum +
+    # sorted scatter) or "pallas" (fused sequential-accumulation kernel,
+    # super_tpu/pallas_kernels/gram.py).  Identical results; at pad_group=32
+    # the XLA path is currently faster (grid-step overhead), the Pallas
+    # kernel wins for long tuple runs / larger pad groups.
+    assembly_backend: str = "xla"
     # Data association for the point-plane term:
     #   "per_iteration": re-project + re-sample the target maps inside every
     #     LM iteration (reference semantics, super/loss.py:222-248) --

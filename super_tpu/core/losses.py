@@ -493,6 +493,32 @@ def _data_normal_eq_tuple(cfg, ctx, beta, intr, weight, jtj_blocks, jtr,
         ext = jnp.concatenate([hb, r.reshape(nb, g_per, 1)], axis=-1)
         return jnp.einsum("bgi,bgj->bij", hb, ext).reshape(nb, 28 * 29)
 
+    t_cap = ctx.layout.tuple_nodes.shape[0]
+    if sol.assembly_backend == "pallas" and beta.dtype == jnp.float32:
+        # Fused Pallas path: compute (r, h) per chunk, then one kernel does
+        # both reduction levels (pallas_kernels/gram.py).
+        def rh_chunk(xs_elem, assoc_elem):
+            r, g, _ = _jacobian_of(cfg, ctx, beta, intr, weight, xs_elem,
+                                   assoc_elem)
+            return r, g.reshape(g.shape[0], 28)
+
+        if nc == 1:
+            take0 = lambda t: jax.tree.map(lambda a: a[0], t)  # noqa: E731
+            r_all, h_all = rh_chunk(take0(xs),
+                                    None if axs is None else take0(axs))
+        else:
+            _, (rs, hs) = jax.lax.scan(lambda c, e: (c, rh_chunk(*e)), None,
+                                       (xs, axs))
+            r_all = rs.reshape(-1)
+            h_all = hs.reshape(-1, 28)
+        from super_tpu.pallas_kernels.gram import tuple_gram_pallas
+
+        gram, jtr_t = tuple_gram_pallas(
+            h_all, r_all, ctx.layout.block_tuple, tuple_cap=t_cap,
+            block=sol.assembly_pad_group)
+        return assembly.expand_to_blocks(ctx.layout, gram, jtr_t,
+                                         jtj_blocks, jtr)
+
     if nc == 1:
         take0 = lambda t: jax.tree.map(lambda a: a[0], t)  # noqa: E731
         partial = jac_chunk(take0(xs), None if axs is None else take0(axs))
@@ -501,7 +527,6 @@ def _data_normal_eq_tuple(cfg, ctx, beta, intr, weight, jtj_blocks, jtr,
                                 (xs, axs))
         partial = parts.reshape(-1, 28 * 29)
 
-    t_cap = ctx.layout.tuple_nodes.shape[0]
     acc = jnp.zeros((t_cap, 28 * 29), dtype=beta.dtype).at[
         ctx.layout.block_tuple].add(partial)
     acc = acc.reshape(t_cap, 28, 29)
