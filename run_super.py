@@ -80,7 +80,11 @@ def main(argv=None) -> int:
         return p
 
     node_cap = pow2_at_least(len(anchors))
-    surfel_cap = pow2_at_least(2 * args.height * args.width)
+    # 1.25x pixel count, chunk-aligned: headroom for fusion adds without
+    # paying assembly work on unused capacity.
+    chunk_al = 32768
+    surfel_cap = -(-int(1.25 * args.height * args.width) // chunk_al) * chunk_al
+    surfel_cap = max(surfel_cap, chunk_al)
     cfg = SuPerConfig(
         method=args.method,
         data=args.data,

@@ -19,6 +19,11 @@ class LossConfig:
 
     sf_point_plane: bool = True
     sf_point_plane_weight: float = 1.0
+    # Autograd-face robustness (loss.py:368-377): drop residuals above
+    # sf_point_plane_max (the raft_stereo 2e-5 clip, deform_mesh.py:95) and
+    # Huber-style reweighting when huber_th > 0.
+    sf_point_plane_max: float = -1.0
+    huber_th: float = -1.0
     mesh_arap: bool = True
     mesh_arap_weight: float = 10.0
     mesh_rot: bool = True

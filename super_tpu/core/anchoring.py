@@ -94,6 +94,14 @@ def anchor_points(
         points, graph.points.T, k, query_mask=mask, ref_mask=graph.active,
         query_seg=seg if cfg.hard_seg else None,
         ref_seg=graph.seg if cfg.hard_seg else None)
+    # Canonicalize anchor order (ascending node id): the blend is
+    # order-invariant, and order-free anchor tuples group ~4x better in the
+    # JTJ tuple assembly (fewer distinct tuples = less padding + no
+    # capacity overflow).
+    order = jnp.argsort(idx, axis=0)
+    idx = jnp.take_along_axis(idx, order, axis=0)
+    dists = jnp.take_along_axis(dists, order, axis=0)
+
     radii = graph.radii[idx]               # (K, N) rank-1 gather per row
     finite = jnp.isfinite(dists)
     # Too far from every anchor -> unstable (nodes.py:181-182).

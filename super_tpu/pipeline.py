@@ -145,6 +145,17 @@ class SuPerPipeline:
                 t, np.asarray(frame.color_image), depth=np.asarray(depth),
                 render_chw=render, keypoints_xy=kp,
                 mesh_points_xy=mesh_xy, mesh_edges=edges)
+            # Confidence heat map render (renderImg_conf_heat parity,
+            # nodes.py:640-642): surfel confidences through magma.
+            import matplotlib.cm as cm
+
+            confs = np.clip(np.asarray(sf.confs), 0, 1)
+            heat = np.ascontiguousarray(
+                cm.magma(confs)[:, :3].T.astype(np.float32))
+            heat_img = np.asarray(self._render(
+                sf.points, jnp.asarray(heat), sf.active))
+            self.logger.writer.add_image("visualization/uncertainty",
+                                         np.clip(heat_img, 0, 1), t)
         if self.checkpoint_dir is not None:
             from super_tpu.utils.checkpoint import save_state
 

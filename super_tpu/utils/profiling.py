@@ -1,0 +1,75 @@
+"""Profiling harness (the reference only wall-clocks the optimizer loop,
+super/deform_mesh.py:281,372-375; here: dependent-chain timing that is
+correct on asynchronous backends, plus jax.profiler traces).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Callable, Dict
+
+import jax
+import jax.numpy as jnp
+
+
+def chain_time(fn: Callable, *args, probe: Callable = None, reps: int = 5,
+               **kwargs) -> float:
+    """Seconds per call, measured on a dependent chain.
+
+    ``block_until_ready`` alone under-measures on remote/async backends;
+    feeding a scalar of each result into the next call forces serial device
+    execution.  ``probe`` extracts that scalar (default: first leaf's first
+    element).
+    """
+    if probe is None:
+        def probe(out):
+            leaf = jax.tree.leaves(out)[0]
+            return jnp.ravel(leaf)[0].astype(jnp.float32)
+
+    dep = jnp.float32(0.0)
+
+    def call(d):
+        new_args = [a + d * 0 if isinstance(a, jnp.ndarray)
+                    and jnp.issubdtype(a.dtype, jnp.floating) else a
+                    for a in args]
+        return fn(*new_args, **kwargs)
+
+    out = call(dep)
+    dep = probe(out) * 0
+    out = call(dep)
+    dep = probe(out) * 0
+    float(dep)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = call(dep)
+        dep = probe(out) * 1e-30
+    float(dep)
+    return (time.perf_counter() - t0) / reps
+
+
+@contextlib.contextmanager
+def trace(logdir: str):
+    """jax.profiler trace context (view with TensorBoard's profile plugin)."""
+    jax.profiler.start_trace(logdir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def loop_time(make_fn: Callable, init, n_iter: int = 20) -> float:
+    """Milliseconds per iteration of ``make_fn`` measured inside one
+    compiled fori_loop (amortizes dispatch entirely)."""
+
+    @jax.jit
+    def run(x):
+        def body(i, acc):
+            return acc + make_fn(acc * 1e-30) * 1e-30
+        return jax.lax.fori_loop(0, n_iter, body, x)
+
+    r = run(init)
+    float(r)
+    t0 = time.perf_counter()
+    float(run(init))
+    return (time.perf_counter() - t0) / n_iter * 1e3

@@ -215,3 +215,15 @@ def test_stereo_ssim_confidence_prefers_consistent_depth():
     conf_bad = stereo_ssim_confidence(cfg, intr, pts_bad, color)
     assert float(conf_good[8:-8, 8:-8].mean()) > \
         float(conf_bad[8:-8, 8:-8].mean())
+
+
+def test_unet_seg_runs(key):
+    from super_tpu.models.segmentation import UNet, build_seg_model
+
+    img = jax.random.uniform(key, (1, 48, 64, 3))
+    m = build_seg_model("unet", num_classes=2)
+    assert isinstance(m, UNet)
+    params = m.init(key, img)
+    logits = m.apply(params, img)
+    assert logits.shape == (1, 2, 48, 64)
+    assert np.isfinite(np.asarray(logits)).all()
