@@ -39,9 +39,18 @@ _W = 0.0010   # non-rigid warp amplitude (m)
 
 
 def _rest_z(x, y, base=0.55, amp=0.02):
-    """Time-independent height field."""
-    return base + amp * np.sin(6.0 * x) * np.cos(5.0 * y) \
-        + 0.5 * amp * np.sin(9.0 * y)
+    """Time-independent height field: broad folds + fine wrinkle relief.
+
+    The fine detail matters for evaluation realism: point-to-plane ICP only
+    constrains motion along surface normals, so a surface with no
+    small-scale relief leaves lateral motion unobservable (as it is for
+    any geometry-only tracker, including the reference)."""
+    return (base
+            + amp * np.sin(6.0 * x) * np.cos(5.0 * y)
+            + 0.5 * amp * np.sin(9.0 * y)
+            + 0.25 * amp * np.sin(31.0 * x + 2.0) * np.cos(27.0 * y)
+            + 0.15 * amp * np.sin(53.0 * x) * np.sin(47.0 * y + 1.0)
+            + 0.1 * amp * np.cos(89.0 * x + 71.0 * y))
 
 
 def _disp(x0, y0, t):

@@ -208,11 +208,15 @@ def test_stereo_ssim_confidence_prefers_consistent_depth():
     seq = generate(1, h, w, intr=intr)
     depth = jnp.asarray(seq.depths[0])
     color = jnp.asarray(seq.colors[0].transpose(2, 0, 1))
+    # Small baseline keeps the warp in-frame at this tiny test resolution
+    # (the real 0.1 m baseline shifts ~90 px at fx=500).
     pts = backproject_depth(depth, intr)
-    conf_good = stereo_ssim_confidence(cfg, intr, pts, color)
+    conf_good = stereo_ssim_confidence(cfg, intr, pts, color,
+                                       baseline_tx=-0.01)
     pts_bad = backproject_depth(depth * (1 + 0.3 * jnp.sin(
         jnp.arange(h * w).reshape(h, w) * 0.37)), intr)
-    conf_bad = stereo_ssim_confidence(cfg, intr, pts_bad, color)
+    conf_bad = stereo_ssim_confidence(cfg, intr, pts_bad, color,
+                                      baseline_tx=-0.01)
     assert float(conf_good[8:-8, 8:-8].mean()) > \
         float(conf_bad[8:-8, 8:-8].mean())
 
