@@ -75,8 +75,13 @@ def main():
             triangle_capacity=2 * node_cap,
         ),
     )
-    cfg = cfg.replace(solver=dataclasses.replace(
-        cfg.solver, association=args.association))
+    solver_kw = dict(association=args.association)
+    if node_cap > 512:
+        # Dense ED graph (mesh_step 16-ish): more distinct anchor tuples,
+        # and the 7J Cholesky loses to block-Jacobi PCG.
+        solver_kw.update(assembly_tuple_cap=8 * node_cap,
+                         linear_solver="pcg")
+    cfg = cfg.replace(solver=dataclasses.replace(cfg.solver, **solver_kw))
     intr = default_intrinsics(h, w)
 
     seq = generate(3, h, w, intr=intr)

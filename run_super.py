@@ -108,9 +108,12 @@ def main(argv=None) -> int:
         ),
     )
     import dataclasses
-    cfg = cfg.replace(solver=dataclasses.replace(
-        cfg.solver, num_iterations=args.num_optimize_iterations,
-        use_derived_gradient=args.use_derived_gradient))
+    solver_kw = dict(num_iterations=args.num_optimize_iterations,
+                     use_derived_gradient=args.use_derived_gradient)
+    if node_cap > 512:  # dense ED graph: scale tuple capacity, use PCG
+        solver_kw.update(assembly_tuple_cap=8 * node_cap,
+                         linear_solver="pcg")
+    cfg = cfg.replace(solver=dataclasses.replace(cfg.solver, **solver_kw))
 
     if args.synthetic or args.data_dir is None:
         from super_tpu.data.synthetic import default_intrinsics, generate

@@ -251,19 +251,36 @@ def frozen_chunk_jacobian(chunk: DataChunk, o_fm, n_fm, amask, beta,
                           weight: float):
     """Frozen-association residual + gradient rows.
 
-    dr/dq_k = n^T jac_k (warp Jacobian only -- the moving-target terms of
-    the full chain vanish when the association is frozen);
-    dr/db_k = w_k n.
+    dr/dq_k = n^T d(warp)/dq_k (the moving-target terms of the full chain
+    vanish when the association is frozen); dr/db_k = w_k n.  The row
+    n^T dT/dq is formed directly from vector identities instead of
+    materializing the (C, K, 3, 4) Jacobian:
+      n^T dT/dqw = 2 n.(qv x v)
+      n^T dT/dqv = 2 [ (qv.v) n + (n.qv) v - 2 (n.v) qv - qw (n x v) ]
+    (the transpose-contraction of super/utils.py:59-69's d_qv).
     """
-    skew_v = skew(chunk.diff)
-    tp, jac = blend_warp_jac(chunk.diff, chunk.knn, beta[chunk.knn_idx],
-                             chunk.knn_w, skew_v=skew_v)
-    n_rm = n_fm.T                        # (C, 3)
+    beta_k = beta[chunk.knn_idx]                        # (C, K, 7)
+    qw = beta_k[..., 0:1]
+    qv = beta_k[..., 1:4]
+    v = chunk.diff                                      # (C, K, 3)
+    c = jnp.cross(qv, v)
+    tp = v + 2.0 * qw * c + 2.0 * jnp.cross(qv, c) + beta_k[..., 4:7]
+    tp = jnp.sum(chunk.knn_w[..., None] * (tp + chunk.knn), axis=-2)
+
+    n_rm = n_fm.T                                       # (C, 3)
     mask = chunk.mask & amask
     r = weight * jnp.sum(n_rm * (tp - o_fm.T), axis=-1)
-    g_q = jnp.einsum("ci,ckij->ckj", n_rm, jac)          # (C, K, 4)
-    g_b = chunk.knn_w[..., None] * n_rm[:, None, :]      # (C, K, 3)
-    g = jnp.concatenate([g_q, g_b], axis=-1)             # (C, K, 7)
+
+    nk = n_rm[:, None, :]                               # (C, 1, 3)
+    g_qw = 2.0 * jnp.sum(nk * c, axis=-1, keepdims=True)           # (C,K,1)
+    qv_v = jnp.sum(qv * v, axis=-1, keepdims=True)
+    n_qv = jnp.sum(nk * qv, axis=-1, keepdims=True)
+    n_v = jnp.sum(nk * v, axis=-1, keepdims=True)
+    g_qv = 2.0 * (qv_v * nk + n_qv * v - 2.0 * n_v * qv
+                  - qw * jnp.cross(nk + 0.0 * v, v))               # (C,K,3)
+    w4 = chunk.knn_w[..., None]
+    g = jnp.concatenate([w4 * g_qw, w4 * g_qv, w4 * nk + 0.0 * v],
+                        axis=-1)                                    # (C,K,7)
     r = jnp.where(mask, r, 0.0)
     g = jnp.where(mask[:, None, None], weight * g, 0.0)
     return r, g, mask

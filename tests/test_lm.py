@@ -206,3 +206,38 @@ def test_lm_descends_and_tracks_motion(scene, tracker0):
     act = np.asarray(ctx.ed_mask)
     t_norm = np.linalg.norm(b[act][:, 4:7], axis=1)
     assert t_norm.mean() > 1e-4
+
+
+def test_frozen_jacobian_direct_form(scene, tracker0):
+    """The direct n^T dT/dq vector identities must match the contraction of
+    the full analytic warp Jacobian."""
+    from super_tpu.core.losses import (DataChunk, _chunk_view, _chunk_xs,
+                                       frozen_chunk_jacobian)
+    from super_tpu.geometry.quaternion import blend_warp_jac
+
+    cfg, intr, seq, frames = scene
+    st = tracker0
+    ctx = prepare_lm(cfg, st.surfels, st.graph, frames[1])
+    xs, nc = _chunk_xs(ctx, ctx.sf_mask.shape[0])
+    cv = _chunk_view(jax.tree.map(lambda a: a[0] if nc == 1 else a, xs))
+    j_cap = cfg.capacity.node_capacity
+    rng2 = np.random.default_rng(7)
+    beta = jnp.tile(IDENTITY_DQ[None], (j_cap, 1)) + \
+        0.02 * jnp.asarray(rng2.normal(size=(j_cap, 7)), dtype=jnp.float32)
+    n_fm = jnp.asarray(rng2.normal(size=(3, cv.mask.shape[0])),
+                       dtype=jnp.float32)
+    o_fm = jnp.asarray(rng2.normal(size=(3, cv.mask.shape[0])),
+                       dtype=jnp.float32)
+    amask = jnp.ones_like(cv.mask)
+
+    r, g, _ = frozen_chunk_jacobian(cv, o_fm, n_fm, amask, beta, 1.0)
+
+    # Reference form: contract the full per-anchor Jacobian.
+    tp, jac = blend_warp_jac(cv.diff, cv.knn, beta[cv.knn_idx], cv.knn_w)
+    g_q = jnp.einsum("ci,ckij->ckj", n_fm.T, jac)
+    g_b = cv.knn_w[..., None] * n_fm.T[:, None, :]
+    g_ref = jnp.concatenate([g_q, g_b], axis=-1)
+    g_ref = jnp.where(cv.mask[:, None, None], g_ref, 0.0)
+    sel = np.asarray(cv.mask)
+    np.testing.assert_allclose(np.asarray(g)[sel], np.asarray(g_ref)[sel],
+                               rtol=2e-4, atol=1e-5)
