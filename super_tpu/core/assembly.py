@@ -137,14 +137,16 @@ def block_reduce(layout: TupleLayout, h, r, *, pad_group: int):
     return acc[..., :d], acc[..., d]
 
 
-def expand_to_blocks(layout: TupleLayout, gram, jtr_t, jtj_blocks, jtr):
-    """Scatter per-tuple Grams into the (J, J, 7, 7) block matrix and
+def expand_to_blocks(layout: TupleLayout, gram, jtr_t, jtj, jtr):
+    """Scatter per-tuple Grams into the dense (7J, 7J) normal matrix and
     (J, 7) JTr.  The sink tuple (last id) carries only masked contributions
     (zeros), so adding it is harmless."""
+    from super_tpu.core.losses import _add_blocks
+
     t_cap, d, _ = gram.shape
     k = layout.tuple_nodes.shape[1]
     g5 = gram.reshape(t_cap, k, 7, k, 7).transpose(0, 1, 3, 2, 4)
     nodes = layout.tuple_nodes
-    jtj_blocks = jtj_blocks.at[nodes[:, :, None], nodes[:, None, :]].add(g5)
+    jtj = _add_blocks(jtj, nodes[:, :, None], nodes[:, None, :], g5)
     jtr = jtr.at[nodes].add(-jtr_t.reshape(t_cap, k, 7))
-    return jtj_blocks, jtr
+    return jtj, jtr

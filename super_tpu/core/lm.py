@@ -91,7 +91,7 @@ def lm_solve(cfg: SuPerConfig, ctx: LMContext, intr: Intrinsics,
     u0 = jnp.asarray(cfg.solver.lm_damping_init, dtype)
     v = cfg.solver.lm_damping_factor
     best0 = jnp.asarray(1e10, dtype)
-    eye = jnp.eye(dim, dtype=dtype)
+    diag_idx = jnp.arange(dim)
 
     # Frozen projective association (classical ICP mode): one sampling pass
     # at the identity warp; iterations re-linearize only the warp field.
@@ -125,7 +125,9 @@ def lm_solve(cfg: SuPerConfig, ctx: LMContext, intr: Intrinsics,
         jtj, jtr = assemble_normal_equations(cfg, ctx, beta, intr,
                                              axis_name=axis_name,
                                              assoc=assoc)
-        a = jtj + u * eye
+        # Damping on the diagonal (LM.py:97) without materializing a dense
+        # identity (dim^2 can be ~800 MB for dense ED graphs).
+        a = jtj.at[diag_idx, diag_idx].add(u)
         delta = solve_damped(a, jtr)
         ok = jnp.all(jnp.isfinite(delta))
         delta = jnp.where(ok, delta, 0.0).reshape(j_cap, 7)

@@ -484,6 +484,20 @@ def rot_term_jacobian(beta, active, weight: float):
 # JTJ / JTr assembly
 # ---------------------------------------------------------------------------
 
+def _add_blocks(jtj, rows_nodes, cols_nodes, vals):
+    """Scatter-add 7x7 blocks into the dense (7J, 7J) normal matrix.
+
+    rows_nodes/cols_nodes: broadcast-compatible integer arrays of node ids;
+    vals: their shape + (7, 7).  Accumulating directly in the final dense
+    layout matters: a (J, J, 7, 7) accumulator pads its trailing (7, 7)
+    tile to (8, 128) -- 20.9x the bytes (16 GB at J = 2048).
+    """
+    seven = jnp.arange(7)
+    r = rows_nodes[..., None, None] * 7 + seven[:, None]
+    c = cols_nodes[..., None, None] * 7 + seven[None, :]
+    return jtj.at[r, c].add(vals)
+
+
 def _jacobian_of(cfg, ctx, beta, intr, weight, xs_elem, assoc_elem):
     if assoc_elem is None:
         return data_chunk_jacobian(cfg, ctx, _chunk_view(xs_elem), beta,
@@ -492,7 +506,7 @@ def _jacobian_of(cfg, ctx, beta, intr, weight, xs_elem, assoc_elem):
     return frozen_chunk_jacobian(_chunk_view(xs_elem), o, n, am, beta, weight)
 
 
-def _data_normal_eq_tuple(cfg, ctx, beta, intr, weight, jtj_blocks, jtr,
+def _data_normal_eq_tuple(cfg, ctx, beta, intr, weight, jtj, jtr,
                           assoc=None):
     """Tuple-grouped MXU path: jacobian chunks -> G-block Grams -> expand."""
     sol = cfg.solver
@@ -533,8 +547,7 @@ def _data_normal_eq_tuple(cfg, ctx, beta, intr, weight, jtj_blocks, jtr,
         gram, jtr_t = tuple_gram_pallas(
             h_all, r_all, ctx.layout.block_tuple, tuple_cap=t_cap,
             block=sol.assembly_pad_group)
-        return assembly.expand_to_blocks(ctx.layout, gram, jtr_t,
-                                         jtj_blocks, jtr)
+        return assembly.expand_to_blocks(ctx.layout, gram, jtr_t, jtj, jtr)
 
     if nc == 1:
         take0 = lambda t: jax.tree.map(lambda a: a[0], t)  # noqa: E731
@@ -548,10 +561,10 @@ def _data_normal_eq_tuple(cfg, ctx, beta, intr, weight, jtj_blocks, jtr,
         ctx.layout.block_tuple].add(partial)
     acc = acc.reshape(t_cap, 28, 29)
     return assembly.expand_to_blocks(ctx.layout, acc[..., :28], acc[..., 28],
-                                     jtj_blocks, jtr)
+                                     jtj, jtr)
 
 
-def _data_normal_eq_scatter(cfg, ctx, beta, intr, weight, jtj_blocks, jtr,
+def _data_normal_eq_scatter(cfg, ctx, beta, intr, weight, jtj, jtr,
                             assoc=None):
     """Direct scatter-add path (reference semantics; slow on TPU)."""
     chunk = _cost_chunk_size(cfg, ctx)
@@ -559,7 +572,7 @@ def _data_normal_eq_scatter(cfg, ctx, beta, intr, weight, jtj_blocks, jtr,
     axs = None if assoc is None else _assoc_chunk_xs(assoc, chunk)
 
     def accumulate(carry, xs_elem, assoc_elem):
-        jtj_b, jtr_b = carry
+        jtj_d, jtr_b = carry
         cv = _chunk_view(xs_elem)
         r, g, _ = _jacobian_of(cfg, ctx, beta, intr, weight, xs_elem,
                                assoc_elem)
@@ -568,18 +581,19 @@ def _data_normal_eq_scatter(cfg, ctx, beta, intr, weight, jtj_blocks, jtr,
             jtr_b = jtr_b.at[cv.knn_idx[:, a]].add(-g[:, a, :] * r[:, None])
             for b_ in range(k):
                 blk = g[:, a, :, None] * g[:, b_, None, :]
-                jtj_b = jtj_b.at[cv.knn_idx[:, a], cv.knn_idx[:, b_]].add(blk)
-        return (jtj_b, jtr_b), None
+                jtj_d = _add_blocks(jtj_d, cv.knn_idx[:, a],
+                                    cv.knn_idx[:, b_], blk)
+        return (jtj_d, jtr_b), None
 
     if nc == 1:
         take0 = lambda t: jax.tree.map(lambda a: a[0], t)  # noqa: E731
-        (jtj_blocks, jtr), _ = accumulate(
-            (jtj_blocks, jtr), take0(xs), None if axs is None else take0(axs))
+        (jtj, jtr), _ = accumulate(
+            (jtj, jtr), take0(xs), None if axs is None else take0(axs))
     else:
-        (jtj_blocks, jtr), _ = jax.lax.scan(
-            lambda c, e: accumulate(c, e[0], e[1]), (jtj_blocks, jtr),
+        (jtj, jtr), _ = jax.lax.scan(
+            lambda c, e: accumulate(c, e[0], e[1]), (jtj, jtr),
             (xs, axs))
-    return jtj_blocks, jtr
+    return jtj, jtr
 
 
 def assemble_normal_equations(cfg: SuPerConfig, ctx: LMContext, beta,
@@ -598,7 +612,7 @@ def assemble_normal_equations(cfg: SuPerConfig, ctx: LMContext, beta,
     j_cap = ctx.ed_mask.shape[0]
     dim = 7 * j_cap
     losses = cfg.losses
-    jtj_blocks = jnp.zeros((j_cap, j_cap, 7, 7), dtype=beta.dtype)
+    jtj = jnp.zeros((dim, dim), dtype=beta.dtype)
     jtr = jnp.zeros((j_cap, 7), dtype=beta.dtype)
     if axis_name is None:
         graph_scale = 1.0
@@ -609,11 +623,11 @@ def assemble_normal_equations(cfg: SuPerConfig, ctx: LMContext, beta,
     if losses.sf_point_plane:
         weight = losses.sf_point_plane_weight
         if ctx.layout is not None:
-            jtj_blocks, jtr = _data_normal_eq_tuple(
-                cfg, ctx, beta, intr, weight, jtj_blocks, jtr, assoc=assoc)
+            jtj, jtr = _data_normal_eq_tuple(
+                cfg, ctx, beta, intr, weight, jtj, jtr, assoc=assoc)
         else:
-            jtj_blocks, jtr = _data_normal_eq_scatter(
-                cfg, ctx, beta, intr, weight, jtj_blocks, jtr, assoc=assoc)
+            jtj, jtr = _data_normal_eq_scatter(
+                cfg, ctx, beta, intr, weight, jtj, jtr, assoc=assoc)
 
     if losses.mesh_arap:
         r, g, idx, _ = arap_term_jacobian(ctx, beta, losses.mesh_arap_weight)
@@ -628,16 +642,15 @@ def assemble_normal_equations(cfg: SuPerConfig, ctx: LMContext, beta,
             for b in range(2):
                 gb = g2[:, :, b, :]
                 blk = jnp.einsum("rci,rcj->rij", ga, gb)
-                jtj_blocks = jtj_blocks.at[idx2[:, a], idx2[:, b]].add(blk)
+                jtj = _add_blocks(jtj, idx2[:, a], idx2[:, b], blk)
 
     if losses.mesh_rot:
         r, g, _ = rot_term_jacobian(beta, ctx.ed_mask, losses.mesh_rot_weight)
         r, g = r * graph_scale, g * graph_scale
         diag = jnp.arange(j_cap)
         jtr = jtr.at[diag].add(-g * r[:, None])
-        jtj_blocks = jtj_blocks.at[diag, diag].add(g[:, :, None] * g[:, None, :])
+        jtj = _add_blocks(jtj, diag, diag, g[:, :, None] * g[:, None, :])
 
-    jtj = jtj_blocks.transpose(0, 2, 1, 3).reshape(dim, dim)
     jtr = jtr.reshape(dim)
     if axis_name is not None:
         jtj = jax.lax.psum(jtj, axis_name)
