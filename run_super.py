@@ -124,13 +124,23 @@ def main(argv=None) -> int:
         metrics = pipe.run(seq.depths, seq.colors, gt_xy=gt3,
                            gt_valid=seq.gt_valid, verbose=args.verbose)
     else:
-        from super_tpu.data.superv1 import load_sequence
+        from super_tpu.data.superv1 import load_gt, load_sequence
         intr, loaded = load_sequence(cfg, args)
         pipe = SuPerPipeline(cfg, intr)
         metrics = pipe.run(loaded.depths, loaded.colors,
                            gt_xy=loaded.gt_xy, gt_valid=loaded.gt_valid,
                            segs=loaded.segs, seg_confs=loaded.seg_confs,
                            verbose=args.verbose)
+        if args.tracking_gt_file:
+            # Co-report the original C++ SuPer baseline bundled in the GT
+            # file, when present (nodes.py:780-789 behavior).
+            from super_tpu.utils import evaluation
+            _, bundle = load_gt(args.data_dir, args.tracking_gt_file)
+            cpp = evaluation.baseline_errors_from_bundle(bundle)
+            if cpp:
+                cpp_sum = evaluation.summarize(cpp)
+                metrics["super_cpp_mean"] = cpp_sum["reproj_mean"]
+                metrics["super_cpp_std"] = cpp_sum["reproj_std"]
 
     print(json.dumps(metrics, indent=2))
     if args.output_json:

@@ -34,17 +34,36 @@ from super_tpu.geometry.camera import Intrinsics
 from super_tpu.geometry.quaternion import IDENTITY_DQ
 
 
-def _block_jacobi_pcg(a, b, j_cap: int, iterations: int):
-    """Preconditioned conjugate gradients on the (scaled) normal system.
+def _block_jacobi_pcg(a, b, j_cap: int, iterations: int, inv_d=None):
+    """Preconditioned conjugate gradients on the (Jacobi-scaled) normal
+    system.
 
     Preconditioner: inverted 7x7 diagonal node blocks.  A fixed trip count
     keeps the solve branch-free (inexact Newton; the LM accept/reject loop
     absorbs solve error).  This is the path that scales to dense ED graphs
     where a 7J x 7J Cholesky becomes the bottleneck (BASELINE dense config).
+
+    When ``inv_d`` is given, ``a`` is the *unscaled* matrix and the
+    symmetric scaling D^-1/2 A D^-1/2 is folded into the matvec -- avoiding
+    a second dim^2 buffer (822 MB at J = 2048).
     """
     dim = 7 * j_cap
-    blocks = a.reshape(j_cap, 7, j_cap, 7)
+
+    if inv_d is None:
+        def matvec(p):
+            return a @ p
+        a_diag_src = a
+        d_scale = None
+    else:
+        def matvec(p):
+            return inv_d * (a @ (inv_d * p))
+        a_diag_src = a
+        d_scale = inv_d.reshape(j_cap, 7)
+
+    blocks = a_diag_src.reshape(j_cap, 7, j_cap, 7)
     diag = blocks[jnp.arange(j_cap), :, jnp.arange(j_cap), :]  # (J, 7, 7)
+    if d_scale is not None:
+        diag = diag * d_scale[:, :, None] * d_scale[:, None, :]
     eye7 = jnp.eye(7, dtype=a.dtype)
     diag_inv = jnp.linalg.inv(diag + 1e-8 * eye7)
 
@@ -60,7 +79,7 @@ def _block_jacobi_pcg(a, b, j_cap: int, iterations: int):
 
     def body(_, carry):
         x, r, p, rz = carry
-        ap = a @ p
+        ap = matvec(p)
         denom = p @ ap
         alpha = jnp.where(jnp.abs(denom) > 1e-30, rz / denom, 0.0)
         x = x + alpha * p
@@ -110,12 +129,13 @@ def lm_solve(cfg: SuPerConfig, ctx: LMContext, intr: Intrinsics,
         """
         d = jnp.sqrt(jnp.maximum(jnp.diagonal(a), 1e-20))
         inv_d = 1.0 / d
-        a_s = a * inv_d[:, None] * inv_d[None, :]
         b_s = rhs * inv_d
         if cfg.solver.linear_solver == "pcg":
-            x = _block_jacobi_pcg(a_s, b_s, j_cap,
-                                  cfg.solver.pcg_iterations)
+            # Scaling folded into the matvec: no second dim^2 buffer.
+            x = _block_jacobi_pcg(a, b_s, j_cap,
+                                  cfg.solver.pcg_iterations, inv_d=inv_d)
         else:
+            a_s = a * inv_d[:, None] * inv_d[None, :]
             chol = jnp.linalg.cholesky(a_s)
             x = jax.scipy.linalg.cho_solve((chol, True), b_s)
         return x * inv_d

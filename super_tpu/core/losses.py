@@ -485,13 +485,16 @@ def rot_term_jacobian(beta, active, weight: float):
 # ---------------------------------------------------------------------------
 
 def _add_blocks(jtj, rows_nodes, cols_nodes, vals):
-    """Scatter-add 7x7 blocks into the dense (7J, 7J) normal matrix.
+    """Scatter-add 7x7 blocks into the normal-matrix accumulator.
 
-    rows_nodes/cols_nodes: broadcast-compatible integer arrays of node ids;
-    vals: their shape + (7, 7).  Accumulating directly in the final dense
-    layout matters: a (J, J, 7, 7) accumulator pads its trailing (7, 7)
-    tile to (8, 128) -- 20.9x the bytes (16 GB at J = 2048).
+    Handles both layouts: (J, J, 7, 7) blocks (fast tile writes; ~1 GB of
+    tile padding at J=512) and the dense (7J, 7J) matrix (padding-free,
+    required for dense ED graphs where the block layout would cost 16 GB).
+    rows_nodes/cols_nodes: broadcast-compatible node-id arrays; vals: their
+    broadcast shape + (7, 7).
     """
+    if jtj.ndim == 4:
+        return jtj.at[rows_nodes, cols_nodes].add(vals)
     seven = jnp.arange(7)
     r = rows_nodes[..., None, None] * 7 + seven[:, None]
     c = cols_nodes[..., None, None] * 7 + seven[None, :]
@@ -612,7 +615,15 @@ def assemble_normal_equations(cfg: SuPerConfig, ctx: LMContext, beta,
     j_cap = ctx.ed_mask.shape[0]
     dim = 7 * j_cap
     losses = cfg.losses
-    jtj = jnp.zeros((dim, dim), dtype=beta.dtype)
+    # Accumulation layout: for small graphs the (J, J, 7, 7) block layout is
+    # fastest (contiguous 7x7 tile writes) and its 20.9x tile-padding
+    # overhead is affordable (~1 GB at J=512); for dense graphs it would be
+    # 16 GB, so blocks scatter directly into the final dense matrix.
+    block_layout = j_cap <= 512
+    if block_layout:
+        jtj = jnp.zeros((j_cap, j_cap, 7, 7), dtype=beta.dtype)
+    else:
+        jtj = jnp.zeros((dim, dim), dtype=beta.dtype)
     jtr = jnp.zeros((j_cap, 7), dtype=beta.dtype)
     if axis_name is None:
         graph_scale = 1.0
@@ -651,6 +662,8 @@ def assemble_normal_equations(cfg: SuPerConfig, ctx: LMContext, beta,
         jtr = jtr.at[diag].add(-g * r[:, None])
         jtj = _add_blocks(jtj, diag, diag, g[:, :, None] * g[:, None, :])
 
+    if block_layout:
+        jtj = jtj.transpose(0, 2, 1, 3).reshape(dim, dim)
     jtr = jtr.reshape(dim)
     if axis_name is not None:
         jtj = jax.lax.psum(jtj, axis_name)

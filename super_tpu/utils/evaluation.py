@@ -25,6 +25,22 @@ def reprojection_errors(gt_xyv: np.ndarray, est_xyv: np.ndarray,
     return d
 
 
+def baseline_errors_from_bundle(bundle, key: str = "super_cpp"
+                                ) -> Dict[int, np.ndarray]:
+    """Per-frame reprojection errors of a baseline trajectory stored in the
+    GT bundle (the original C++ SuPer results shipped inside the GT file;
+    reference co-plots them, super/nodes.py:128-132,780-789)."""
+    if key not in bundle:
+        return {}
+    gt = bundle["gt"]
+    out = {}
+    for name, est in bundle[key].items():
+        if name in gt:
+            out[int(name)] = reprojection_errors(np.asarray(gt[name]),
+                                                 np.asarray(est))
+    return out
+
+
 def summarize(err_frames: Dict[int, np.ndarray],
               edge_ids: Sequence[int] = ()) -> Dict[str, float]:
     """Mean/std of reprojection error over frames x points.

@@ -143,10 +143,9 @@ class TrackingLogger:
                                   (1.0, 1.0, 1.0))
             w.add_image("visualization/render", img, time)
         if seg is not None:
-            pal = np.array([[0.8, 0.2, 0.2], [0.2, 0.8, 0.2],
-                            [0.2, 0.2, 0.8], [0.8, 0.8, 0.2]])
-            w.add_image("visualization/seg_pred",
-                        pal[seg % len(pal)].transpose(2, 0, 1), time)
+            from super_tpu.utils.labels import seg_to_color
+
+            w.add_image("visualization/seg_pred", seg_to_color(seg), time)
 
     def log_pointcloud(self, time: int, points: np.ndarray,
                        colors: np.ndarray):
