@@ -54,6 +54,19 @@ class SolverConfig:
     # LM damping schedule (reference: super/LM.py:81,109-117)
     lm_damping_init: float = 10.0
     lm_damping_factor: float = 7.5
+    # Iteration schedule:
+    #   "classic": assemble at the accepted point, solve, then a separate
+    #     cost pass at the candidate (the reference's loop, LM.py:81-121);
+    #   "deferred": evaluate the candidate's cost from the residuals of the
+    #     *next* iteration's assembly (one fused pass per iteration; the
+    #     accepted (JTJ, JTr) is cached so a rejection costs no re-assembly).
+    #     Same candidate sequence as "classic" whenever the cost descends
+    #     monotonically; ~1.5x fewer residual passes per solve.
+    lm_schedule: str = "deferred"
+    # Damping hypotheses tried per iteration (>1 batches the Cholesky and
+    # the candidate cost pass over {u/v, u, u*v, ...} -- the parallel
+    # accept/reject axis; 1 reproduces the reference's single-test schedule).
+    lm_hypotheses: int = 1
     # Linear solve: "cholesky" (dense, exact; reference super/LM.py:37-51) or
     # "pcg" (block-Jacobi preconditioned CG on the block-sparse JTJ; TPU-native
     # path that scales to dense ED graphs).
@@ -160,6 +173,11 @@ class SuPerConfig:
 
     # Renderer (options.py:173-180)
     renderer_rad: float = 2e-4
+
+    # Projection-map construction (core/fusion.py:build_projection_maps):
+    # "scatter" peels per-pixel confidence winners with 2L element-bound
+    # scatters; "sort" is the two-pass stable argsort.  Identical results.
+    proj_map_mode: str = "scatter"
 
     losses: LossConfig = dataclasses.field(default_factory=LossConfig)
     solver: SolverConfig = dataclasses.field(default_factory=SolverConfig)

@@ -34,6 +34,9 @@ class TupleLayout(NamedTuple):
     slot_valid: jnp.ndarray    # (Np,) real + in-range surfel (not padding)
     block_tuple: jnp.ndarray   # (Np / G,) tuple id of each G-block
     tuple_nodes: jnp.ndarray   # (T, K) node ids of each tuple
+    overflow_count: jnp.ndarray  # () int32 active surfels dropped into the
+    #   sink tuple (tuple_cap exceeded) -- their residuals are lost, so a
+    #   nonzero count means assembly_tuple_cap is undersized for this frame.
 
     @property
     def padded_size(self):
@@ -72,6 +75,9 @@ def build_tuple_layout(knn_idx, active, node_cap: int, *, tuple_cap: int,
     tid_raw = jnp.cumsum(new_tuple) - 1
     in_range = tid_raw < tuple_cap - 1
     tid_sorted = jnp.clip(tid_raw, 0, tuple_cap - 1).astype(jnp.int32)
+    # Active surfels pushed past the sink boundary lose their residuals --
+    # surface the count so undersized tuple caps are visible (StepOutputs).
+    overflow_count = jnp.sum((~in_range) & active[perm]).astype(jnp.int32)
 
     # Tuple sizes and G-aligned padded bases.
     ones = jnp.ones((n,), dtype=jnp.int32)
@@ -110,7 +116,8 @@ def build_tuple_layout(knn_idx, active, node_cap: int, *, tuple_cap: int,
     tuple_nodes = jnp.stack(cols, axis=1)
 
     return TupleLayout(src_of=src_of, slot_valid=slot_valid,
-                       block_tuple=block_tuple, tuple_nodes=tuple_nodes)
+                       block_tuple=block_tuple, tuple_nodes=tuple_nodes,
+                       overflow_count=overflow_count)
 
 
 def block_reduce(layout: TupleLayout, h, r, *, pad_group: int):

@@ -28,7 +28,7 @@ work uses channel-wise rank-1 gathers/scatters.
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -49,6 +49,19 @@ def build_projection_maps(cfg: SuPerConfig, intr: Intrinsics,
                           surfels: SurfelState):
     """Per-pixel surfel layers.
 
+    Layer semantics (nodes.py:363-400): within a pixel, surfels are ordered
+    by confidence descending (ties: slot id ascending -- the stable-sort
+    order); surfels beyond ``proj_map_depth`` layers are deleted
+    (nodes.py:402-403).
+
+    Implementation: ``proj_map_mode="scatter"`` (default) peels off the
+    top-confidence surfel per pixel once per layer with a scatter-max over
+    confidences plus a scatter-min over slot ids for exact tie-breaks --
+    2L element-bound scatters (~N elements each) instead of two full
+    argsorts over the surfel capacity (the sorts were ~70 ms/frame at 480p,
+    ~40% of fusion).  ``"sort"`` keeps the two-pass stable argsort.
+    Both produce identical maps (test_fusion_proj_map_modes_agree).
+
     Returns:
       proj_id: (L, P) int32 surfel slot per (layer, pixel), -1 empty.
       overflow: (N,) bool surfels beyond layer L at their pixel (deleted).
@@ -60,6 +73,29 @@ def build_projection_maps(cfg: SuPerConfig, intr: Intrinsics,
 
     _, _, coords, in_bounds = project_points(surfels.points, intr, h, w)
     valid = in_bounds & surfels.active
+
+    if cfg.proj_map_mode == "scatter":
+        ids = jnp.arange(n, dtype=jnp.int32)
+        safe_coords = jnp.where(valid, coords, 0)
+        alive = valid
+        neg_inf = jnp.asarray(-jnp.inf, surfels.confs.dtype)
+        layers = []
+        for _ in range(depth_l):
+            key = jnp.where(alive, surfels.confs, neg_inf)
+            best = jnp.full((p,), neg_inf, surfels.confs.dtype).at[
+                safe_coords].max(key)
+            # Tie-break exactly like the stable sort: among equal-conf
+            # surfels the lowest slot id wins the layer.
+            cand = alive & (key == best[safe_coords]) & (key > neg_inf)
+            wid = jnp.full((p,), n, jnp.int32).at[safe_coords].min(
+                jnp.where(cand, ids, n))
+            winner = cand & (ids == wid[safe_coords])
+            layers.append(jnp.where(wid < n, wid, -1))
+            alive = alive & ~winner
+        proj_id = jnp.stack(layers, axis=0)
+        overflow = alive  # valid coords but never won a layer
+        return proj_id, overflow
+
     key_coords = jnp.where(valid, coords, p)  # invalid -> sentinel bucket
 
     # Stable sort by confidence desc, then stable sort by pixel: within a
@@ -168,13 +204,26 @@ def _scatter_merge(s: SurfelState, sl, do, vals) -> SurfelState:
     return s._replace(**upd)
 
 
+class FusionDiag(NamedTuple):
+    """Capacity-overflow counters of one fusion step (all () int32).
+
+    The fixed-capacity design degrades gracefully on overflow (deletes /
+    defers instead of corrupting), but silently -- these counters make an
+    undersized config visible (StepOutputs / run_super --verbose)."""
+
+    proj_overflow: jnp.ndarray   # surfels deleted beyond proj_map_depth
+    add_overflow: jnp.ndarray    # add candidates beyond new_surfel_capacity
+    #   (deferred to later frames)
+    free_exhausted: jnp.ndarray  # stability-gated adds with no free slot
+
+
 def fuse_frame(cfg: SuPerConfig, intr: Intrinsics, surfels: SurfelState,
                graph: GraphState, frame: FrameData
-               ) -> Tuple[SurfelState, jnp.ndarray]:
+               ) -> Tuple[SurfelState, jnp.ndarray, FusionDiag]:
     """Stages 1-4 of the fusion (everything except pruning).
 
-    Returns (surfels, remap) where ``remap[j] = i`` records surfel j merged
-    into i (identity elsewhere) for tracked-id fixup."""
+    Returns (surfels, remap, diag) where ``remap[j] = i`` records surfel j
+    merged into i (identity elsewhere) for tracked-id fixup."""
     p = cfg.image_pixels
     time = frame.time
     proj_id, overflow = build_projection_maps(cfg, intr, surfels)
@@ -270,6 +319,8 @@ def fuse_frame(cfg: SuPerConfig, intr: Intrinsics, surfels: SurfelState,
     surfels = recompute_surfel_weights(cfg, surfels, graph)
 
     # --- stage 4: add unmatched candidates into free slots ----------------
+    add_overflow = jnp.asarray(0, jnp.int32)
+    free_exhausted = jnp.asarray(0, jnp.int32)
     if not cfg.disable_adding_new_surfels:
         # Compact the add candidates to new_surfel_capacity rows before the
         # ED-anchoring KNN: after frame 1 only a few thousand pixels are
@@ -277,6 +328,8 @@ def fuse_frame(cfg: SuPerConfig, intr: Intrinsics, surfels: SurfelState,
         # equivalent of nodes.py:486-500) would waste a full-image KNN.
         a_cap = cfg.capacity.new_surfel_capacity
         cand_rank = jnp.cumsum(add_mask) - 1
+        add_overflow = jnp.maximum(
+            jnp.sum(add_mask).astype(jnp.int32) - a_cap, 0)
         comp_slot = jnp.where(add_mask & (cand_rank < a_cap), cand_rank, a_cap)
         comp_src = jnp.full((a_cap,), p, dtype=jnp.int32).at[comp_slot].set(
             jnp.arange(p, dtype=jnp.int32), mode="drop")
@@ -302,6 +355,7 @@ def fuse_frame(cfg: SuPerConfig, intr: Intrinsics, surfels: SurfelState,
                 jnp.arange(n, dtype=jnp.int32), mode="drop")
         add_rank = jnp.cumsum(add) - 1
         target = jnp.where(add, slot_by_rank[jnp.clip(add_rank, 0, n - 1)], n)
+        free_exhausted = jnp.sum(add & (target >= n)).astype(jnp.int32)
 
         def scat_fm(dst, src):
             rows = [dst[f].at[target].set(src[f], mode="drop")
@@ -327,7 +381,12 @@ def fuse_frame(cfg: SuPerConfig, intr: Intrinsics, surfels: SurfelState,
             active=surfels.active.at[target].set(True, mode="drop"),
         )
 
-    return surfels, remap
+    diag = FusionDiag(
+        proj_overflow=jnp.sum(overflow).astype(jnp.int32),
+        add_overflow=add_overflow,
+        free_exhausted=free_exhausted,
+    )
+    return surfels, remap, diag
 
 
 def prune_surfels(cfg: SuPerConfig, surfels: SurfelState, track: TrackState,

@@ -12,8 +12,22 @@ XLA program and batches cleanly over streams under ``vmap``:
   - an ill-posed solve (non-finite delta) acts as a reject instead of the
     reference's loop break (LM.py:99-103) -- same fixed iteration budget.
 
+Three schedules (SolverConfig.lm_schedule / lm_hypotheses):
+  - "classic": the reference loop verbatim -- assembly at the accepted
+    point plus a separate candidate cost pass each iteration;
+  - "deferred" (default): the candidate's cost falls out of the next
+    iteration's assembly and the accepted (JTJ, JTr) is cached, so each
+    iteration is ONE fused residual/Jacobian pass (see
+    _lm_solve_deferred);
+  - lm_hypotheses > 1: H damping values solved and cost-tested in batch
+    per assembly (_lm_solve_hypotheses) -- the parallel accept/reject axis
+    the sequential reference cannot express.
+
 f32 on TPU (the reference solves in f64); damping keeps the normal matrix
-PD, and tests check the step against a NumPy f64 port on synthetic graphs.
+PD.  tests/test_lm.py checks the assembled normal equations against f64
+autodiff, cost descent on synthetic scenes, and schedule equivalence;
+tests/test_golden_lm.py cross-checks per-iteration semantics against an
+independent NumPy f64 port of the reference loop.
 """
 
 from __future__ import annotations
@@ -140,14 +154,28 @@ def lm_solve(cfg: SuPerConfig, ctx: LMContext, intr: Intrinsics,
             x = jax.scipy.linalg.cho_solve((chol, True), b_s)
         return x * inv_d
 
-    def body(_, carry):
-        beta, best_beta, best_cost, u = carry
-        jtj, jtr = assemble_normal_equations(cfg, ctx, beta, intr,
-                                             axis_name=axis_name,
-                                             assoc=assoc)
+    def assemble(beta):
+        return assemble_normal_equations(cfg, ctx, beta, intr,
+                                         axis_name=axis_name, assoc=assoc,
+                                         with_cost=True)
+
+    def damped(jtj, u):
         # Damping on the diagonal (LM.py:97) without materializing a dense
         # identity (dim^2 can be ~800 MB for dense ED graphs).
-        a = jtj.at[diag_idx, diag_idx].add(u)
+        return jtj.at[diag_idx, diag_idx].add(u)
+
+    if cfg.solver.lm_hypotheses > 1:
+        return _lm_solve_hypotheses(cfg, ctx, intr, axis_name, assoc, beta0,
+                                    u0, v, best0, assemble, damped,
+                                    solve_damped)
+    if cfg.solver.lm_schedule == "deferred":
+        return _lm_solve_deferred(cfg, beta0, u0, v, assemble, damped,
+                                  solve_damped)
+
+    def body(_, carry):
+        beta, best_beta, best_cost, u = carry
+        jtj, jtr, _ = assemble(beta)
+        a = damped(jtj, u)
         delta = solve_damped(a, jtr)
         ok = jnp.all(jnp.isfinite(delta))
         delta = jnp.where(ok, delta, 0.0).reshape(j_cap, 7)
@@ -158,6 +186,109 @@ def lm_solve(cfg: SuPerConfig, ctx: LMContext, intr: Intrinsics,
         best_beta = jnp.where(accept, beta_new, best_beta)
         best_cost = jnp.where(accept, cost, best_cost)
         u = jnp.where(accept, u / v, u * v)
+        beta = jnp.where(accept, beta_new, best_beta)
+        return beta, best_beta, best_cost, u
+
+    _, best_beta, best_cost, u = jax.lax.fori_loop(
+        0, cfg.solver.num_iterations, body, (beta0, beta0, best0, u0))
+    return LMResult(beta=best_beta, cost=best_cost, final_damping=u)
+
+
+def _lm_solve_deferred(cfg: SuPerConfig, beta0, u0, v, assemble, damped,
+                       solve_damped) -> LMResult:
+    """Deferred-acceptance LM: one fused assemble+cost pass per iteration.
+
+    The classic loop runs two residual passes per iteration (Jacobian
+    assembly at the accepted point, then a separate cost evaluation at the
+    candidate).  Here each iteration assembles at the *candidate*; the cost
+    of that candidate falls out of the same pass, the accept/reject test
+    runs on it, and the accepted (JTJ, JTr) is cached in the loop carry so
+    a rejection re-solves from the cache instead of re-assembling.
+
+    Trip 0 is special: it caches beta0's normal equations but leaves
+    best_cost at the reference's 1e10 init (the reference never evaluates
+    the cost at beta0, LM.py:81), so candidate 1 is accepted against 1e10
+    exactly as in the classic loop; u starts at u0*v so trip 0's accept
+    restores u0 for the first solve.  The candidate sequence is then
+    *identical* to the classic schedule, at one residual pass per
+    iteration instead of two.
+
+    num_iterations+1 trips evaluate beta0 plus the same num_iterations
+    candidates the classic loop evaluates.
+    """
+    j_cap = beta0.shape[0]
+    dim = 7 * j_cap
+    dtype = beta0.dtype
+    zero_jtj = jnp.zeros((dim, dim), dtype)
+    zero_jtr = jnp.zeros((dim,), dtype)
+    big = jnp.asarray(1e10, dtype)
+
+    def body(i, carry):
+        beta_cand, best_beta, best_cost, best_jtj, best_jtr, u = carry
+        jtj_c, jtr_c, cost_c = assemble(beta_cand)
+        first = i == 0
+        accept = first | (jnp.all(jnp.isfinite(jtr_c)) &
+                          (cost_c < best_cost))
+        best_beta = jnp.where(accept, beta_cand, best_beta)
+        # Reference semantics: beta0's cost is never recorded, so the first
+        # candidate is judged against the 1e10 init (LM.py:81,109).
+        best_cost = jnp.where(first, best_cost,
+                              jnp.where(accept, cost_c, best_cost))
+        best_jtj = jnp.where(accept, jtj_c, best_jtj)
+        best_jtr = jnp.where(accept, jtr_c, best_jtr)
+        u = jnp.where(accept, u / v, u * v)
+        delta = solve_damped(damped(best_jtj, u), best_jtr)
+        ok = jnp.all(jnp.isfinite(delta))
+        delta = jnp.where(ok, delta, 0.0).reshape(j_cap, 7)
+        beta_cand = best_beta + delta
+        return beta_cand, best_beta, best_cost, best_jtj, best_jtr, u
+
+    init = (beta0, beta0, big, zero_jtj, zero_jtr, u0 * v)
+    _, best_beta, best_cost, _, _, u = jax.lax.fori_loop(
+        0, cfg.solver.num_iterations + 1, body, init)
+    return LMResult(beta=best_beta, cost=best_cost, final_damping=u)
+
+
+def _lm_solve_hypotheses(cfg: SuPerConfig, ctx: LMContext, intr, axis_name,
+                         assoc, beta0, u0, v, best0, assemble, damped,
+                         solve_damped) -> LMResult:
+    """Batched damping hypotheses: one assembly, H damped solves + H costs.
+
+    Per iteration the normal equations are assembled once at the accepted
+    point, then H = lm_hypotheses damping values {u v^-(H-1), ..., u v^-1, u}
+    are tried *in parallel*: the H Cholesky solves batch on the MXU and the
+    H candidate costs batch through one vmapped residual pass.  The best
+    improving candidate is accepted and u continues from its damping
+    (divided once more, as in the accept branch of LM.py:109-117); if none
+    improve, u *= v as in the reject branch.  H=2 reproduces the classic
+    one-test schedule's accept outcome while also probing the next-smaller
+    damping, so each assembly explores twice the damping ladder.
+    """
+    hyp = cfg.solver.lm_hypotheses
+    j_cap = beta0.shape[0]
+    dtype = beta0.dtype
+    # Exponents {-(H-1), ..., -1, 0}: probe smaller dampings than u.
+    exps = jnp.arange(-(hyp - 1), 1, dtype=dtype)
+
+    def body(_, carry):
+        beta, best_beta, best_cost, u = carry
+        jtj, jtr, _ = assemble(beta)
+        us = u * jnp.asarray(v, dtype) ** exps                  # (H,)
+        deltas = jax.vmap(lambda ui: solve_damped(damped(jtj, ui), jtr))(us)
+        oks = jnp.all(jnp.isfinite(deltas), axis=-1)            # (H,)
+        deltas = jnp.where(oks[:, None], deltas, 0.0)
+        cands = beta[None] + deltas.reshape(hyp, j_cap, 7)      # (H, J, 7)
+        costs = jax.vmap(lambda b: total_cost(cfg, ctx, b, intr,
+                                              axis_name=axis_name,
+                                              assoc=assoc))(cands)
+        costs = jnp.where(oks, costs, jnp.inf)
+        h_star = jnp.argmin(costs)
+        cost_star = costs[h_star]
+        accept = cost_star < best_cost
+        beta_new = cands[h_star]
+        best_beta = jnp.where(accept, beta_new, best_beta)
+        best_cost = jnp.where(accept, cost_star, best_cost)
+        u = jnp.where(accept, us[h_star] / v, u * v)
         beta = jnp.where(accept, beta_new, best_beta)
         return beta, best_beta, best_cost, u
 

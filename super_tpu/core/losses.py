@@ -511,12 +511,18 @@ def _jacobian_of(cfg, ctx, beta, intr, weight, xs_elem, assoc_elem):
 
 def _data_normal_eq_tuple(cfg, ctx, beta, intr, weight, jtj, jtr,
                           assoc=None):
-    """Tuple-grouped MXU path: jacobian chunks -> G-block Grams -> expand."""
+    """Tuple-grouped MXU path: jacobian chunks -> G-block Grams -> expand.
+
+    Returns (jtj, jtr, cost): the scalar sum of squared residuals falls out
+    of the same pass (the "deferred acceptance" LM schedule consumes it, so
+    no separate cost evaluation is needed per iteration).
+    """
     sol = cfg.solver
     chunk = _cost_chunk_size(cfg, ctx)
     xs, nc = _chunk_xs(ctx, chunk)
     axs = None if assoc is None else _assoc_chunk_xs(assoc, chunk)
     g_per = sol.assembly_pad_group
+    zero = jnp.asarray(0.0, beta.dtype)
 
     def jac_chunk(xs_elem, assoc_elem):
         r, g, _ = _jacobian_of(cfg, ctx, beta, intr, weight, xs_elem,
@@ -525,7 +531,8 @@ def _data_normal_eq_tuple(cfg, ctx, beta, intr, weight, jtj, jtr,
         nb = h.shape[0] // g_per
         hb = h.reshape(nb, g_per, 28)
         ext = jnp.concatenate([hb, r.reshape(nb, g_per, 1)], axis=-1)
-        return jnp.einsum("bgi,bgj->bij", hb, ext).reshape(nb, 28 * 29)
+        part = jnp.einsum("bgi,bgj->bij", hb, ext).reshape(nb, 28 * 29)
+        return part, jnp.sum(r * r)
 
     t_cap = ctx.layout.tuple_nodes.shape[0]
     if sol.assembly_backend == "pallas" and beta.dtype == jnp.float32:
@@ -550,32 +557,43 @@ def _data_normal_eq_tuple(cfg, ctx, beta, intr, weight, jtj, jtr,
         gram, jtr_t = tuple_gram_pallas(
             h_all, r_all, ctx.layout.block_tuple, tuple_cap=t_cap,
             block=sol.assembly_pad_group)
-        return assembly.expand_to_blocks(ctx.layout, gram, jtr_t, jtj, jtr)
+        jtj, jtr = assembly.expand_to_blocks(ctx.layout, gram, jtr_t, jtj,
+                                             jtr)
+        return jtj, jtr, jnp.sum(r_all * r_all)
 
     if nc == 1:
         take0 = lambda t: jax.tree.map(lambda a: a[0], t)  # noqa: E731
-        partial = jac_chunk(take0(xs), None if axs is None else take0(axs))
+        partial, cost = jac_chunk(take0(xs),
+                                  None if axs is None else take0(axs))
     else:
-        _, parts = jax.lax.scan(lambda c, e: (c, jac_chunk(*e)), None,
-                                (xs, axs))
+        def scan_body(c, e):
+            part, dc = jac_chunk(*e)
+            return c + dc, part
+
+        cost, parts = jax.lax.scan(scan_body, zero, (xs, axs))
         partial = parts.reshape(-1, 28 * 29)
 
     acc = jnp.zeros((t_cap, 28 * 29), dtype=beta.dtype).at[
         ctx.layout.block_tuple].add(partial)
     acc = acc.reshape(t_cap, 28, 29)
-    return assembly.expand_to_blocks(ctx.layout, acc[..., :28], acc[..., 28],
-                                     jtj, jtr)
+    jtj, jtr = assembly.expand_to_blocks(ctx.layout, acc[..., :28],
+                                         acc[..., 28], jtj, jtr)
+    return jtj, jtr, cost
 
 
 def _data_normal_eq_scatter(cfg, ctx, beta, intr, weight, jtj, jtr,
                             assoc=None):
-    """Direct scatter-add path (reference semantics; slow on TPU)."""
+    """Direct scatter-add path (reference semantics; slow on TPU).
+
+    Returns (jtj, jtr, cost) like the tuple path.
+    """
     chunk = _cost_chunk_size(cfg, ctx)
     xs, nc = _chunk_xs(ctx, chunk)
     axs = None if assoc is None else _assoc_chunk_xs(assoc, chunk)
+    zero = jnp.asarray(0.0, beta.dtype)
 
     def accumulate(carry, xs_elem, assoc_elem):
-        jtj_d, jtr_b = carry
+        jtj_d, jtr_b, cost = carry
         cv = _chunk_view(xs_elem)
         r, g, _ = _jacobian_of(cfg, ctx, beta, intr, weight, xs_elem,
                                assoc_elem)
@@ -586,26 +604,32 @@ def _data_normal_eq_scatter(cfg, ctx, beta, intr, weight, jtj, jtr,
                 blk = g[:, a, :, None] * g[:, b_, None, :]
                 jtj_d = _add_blocks(jtj_d, cv.knn_idx[:, a],
                                     cv.knn_idx[:, b_], blk)
-        return (jtj_d, jtr_b), None
+        return (jtj_d, jtr_b, cost + jnp.sum(r * r)), None
 
     if nc == 1:
         take0 = lambda t: jax.tree.map(lambda a: a[0], t)  # noqa: E731
-        (jtj, jtr), _ = accumulate(
-            (jtj, jtr), take0(xs), None if axs is None else take0(axs))
+        (jtj, jtr, cost), _ = accumulate(
+            (jtj, jtr, zero), take0(xs), None if axs is None else take0(axs))
     else:
-        (jtj, jtr), _ = jax.lax.scan(
-            lambda c, e: accumulate(c, e[0], e[1]), (jtj, jtr),
+        (jtj, jtr, cost), _ = jax.lax.scan(
+            lambda c, e: accumulate(c, e[0], e[1]), (jtj, jtr, zero),
             (xs, axs))
-    return jtj, jtr
+    return jtj, jtr, cost
 
 
 def assemble_normal_equations(cfg: SuPerConfig, ctx: LMContext, beta,
-                              intr: Intrinsics, axis_name=None, assoc=None):
+                              intr: Intrinsics, axis_name=None, assoc=None,
+                              with_cost: bool = False):
     """Build (JTJ, JTr) = (sum_r J_r^T J_r, -sum_r J_r^T r) over all enabled
     derived-gradient terms.  Parity: LM_Solver.prepareCostTerm grad=True
     (super/LM.py:54-68) + prepare_jtj_jtl (loss.py:199-205).
 
     JTJ: (7 J_cap, 7 J_cap) dense; JTr: (7 J_cap,).
+
+    With ``with_cost`` the scalar sum of squared residuals at ``beta`` is
+    returned as a third output -- it falls out of the residuals the Jacobian
+    pass computes anyway, which is what makes the deferred-acceptance LM
+    schedule one pass per iteration (core/lm.py).
 
     When ``axis_name`` is set (shard_map over the surfel dimension), the data
     term is computed on the local surfel slice, the replicated graph terms
@@ -631,18 +655,21 @@ def assemble_normal_equations(cfg: SuPerConfig, ctx: LMContext, beta,
         graph_scale = jax.lax.rsqrt(
             jax.lax.psum(jnp.asarray(1.0, beta.dtype), axis_name))
 
+    cost = jnp.asarray(0.0, beta.dtype)
     if losses.sf_point_plane:
         weight = losses.sf_point_plane_weight
         if ctx.layout is not None:
-            jtj, jtr = _data_normal_eq_tuple(
+            jtj, jtr, dcost = _data_normal_eq_tuple(
                 cfg, ctx, beta, intr, weight, jtj, jtr, assoc=assoc)
         else:
-            jtj, jtr = _data_normal_eq_scatter(
+            jtj, jtr, dcost = _data_normal_eq_scatter(
                 cfg, ctx, beta, intr, weight, jtj, jtr, assoc=assoc)
+        cost = cost + dcost
 
     if losses.mesh_arap:
         r, g, idx, _ = arap_term_jacobian(ctx, beta, losses.mesh_arap_weight)
         r, g = r * graph_scale, g * graph_scale
+        cost = cost + jnp.sum(r * r)
         jk = r.shape[0] * r.shape[1]
         r2 = r.reshape(jk, 3)
         g2 = g.reshape(jk, 3, 2, 7)
@@ -658,6 +685,7 @@ def assemble_normal_equations(cfg: SuPerConfig, ctx: LMContext, beta,
     if losses.mesh_rot:
         r, g, _ = rot_term_jacobian(beta, ctx.ed_mask, losses.mesh_rot_weight)
         r, g = r * graph_scale, g * graph_scale
+        cost = cost + jnp.sum(r * r)
         diag = jnp.arange(j_cap)
         jtr = jtr.at[diag].add(-g * r[:, None])
         jtj = _add_blocks(jtj, diag, diag, g[:, :, None] * g[:, None, :])
@@ -668,6 +696,9 @@ def assemble_normal_equations(cfg: SuPerConfig, ctx: LMContext, beta,
     if axis_name is not None:
         jtj = jax.lax.psum(jtj, axis_name)
         jtr = jax.lax.psum(jtr, axis_name)
+        cost = jax.lax.psum(cost, axis_name)
+    if with_cost:
+        return jtj, jtr, cost
     return jtj, jtr
 
 

@@ -95,12 +95,20 @@ def init_tracker(cfg: SuPerConfig, frame: FrameData) -> TrackerState:
 
 
 class StepOutputs(NamedTuple):
-    """Per-frame diagnostics surfaced to the host."""
+    """Per-frame diagnostics surfaced to the host.
+
+    The overflow counters expose silent capacity degradation (dropped
+    residuals / deferred adds / deleted projections) so an undersized
+    config is visible instead of quietly losing accuracy."""
 
     lm_cost: jnp.ndarray
     lm_damping: jnp.ndarray
     num_surfels: jnp.ndarray
     num_nodes: jnp.ndarray
+    tuple_overflow: jnp.ndarray    # surfels dropped from the JTJ assembly
+    proj_overflow: jnp.ndarray     # surfels deleted beyond proj_map_depth
+    add_overflow: jnp.ndarray      # add candidates deferred (capacity)
+    free_exhausted: jnp.ndarray    # adds dropped: no free surfel slot
 
 
 def track_step(cfg: SuPerConfig, intr: Intrinsics, state: TrackerState,
@@ -110,12 +118,15 @@ def track_step(cfg: SuPerConfig, intr: Intrinsics, state: TrackerState,
     Parity: SuPer.fusion + Surfels.fuseInputData + prune
     (super/super.py:66-83, nodes.py:270-627), LM path.
     """
+    zero_i = jnp.asarray(0, jnp.int32)
     if cfg.solver.use_derived_gradient:
         ctx = prepare_lm(cfg, state.surfels, state.graph, frame)
         result: LMResult = lm_solve(cfg, ctx, intr)
         surfels, graph = apply_deformation(cfg, state.surfels, state.graph,
                                            result.beta)
         solve_cost, damping = result.cost, result.final_damping
+        tuple_overflow = (ctx.layout.overflow_count
+                          if ctx.layout is not None else zero_i)
     else:
         from super_tpu.core.optimizer import graph_fit
 
@@ -124,7 +135,9 @@ def track_step(cfg: SuPerConfig, intr: Intrinsics, state: TrackerState,
         surfels, graph = apply_deformation(cfg, state.surfels, state.graph,
                                            deform[:-1], global_dq=deform[-1])
         damping = jnp.asarray(0.0, jnp.float32)
-    surfels, remap = fusion_mod.fuse_frame(cfg, intr, surfels, graph, frame)
+        tuple_overflow = zero_i
+    surfels, remap, fdiag = fusion_mod.fuse_frame(cfg, intr, surfels, graph,
+                                                  frame)
     # Tracked surfels merged into another slot follow the merge
     # (nodes.py:443-447).
     track = state.track
@@ -144,6 +157,10 @@ def track_step(cfg: SuPerConfig, intr: Intrinsics, state: TrackerState,
         lm_damping=damping,
         num_surfels=surfels.num_active,
         num_nodes=graph.num_active,
+        tuple_overflow=tuple_overflow,
+        proj_overflow=fdiag.proj_overflow,
+        add_overflow=fdiag.add_overflow,
+        free_exhausted=fdiag.free_exhausted,
     )
     return new_state, outs
 

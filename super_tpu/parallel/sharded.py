@@ -58,6 +58,8 @@ def track_step_sharded(cfg: SuPerConfig, intr: Intrinsics, num_shards: int,
         cfg = cfg.replace(solver=dataclasses.replace(
             cfg.solver, assembly_mode="scatter"))
     ctx = prepare_lm(cfg, state.surfels, state.graph, frame)
+    tuple_overflow = (ctx.layout.overflow_count if ctx.layout is not None
+                      else jnp.asarray(0, jnp.int32))
     if num_shards > 1:
         ctx = shard_ctx(ctx, "shard", num_shards)
         result = lm_solve(cfg, ctx, intr, axis_name="shard")
@@ -65,7 +67,8 @@ def track_step_sharded(cfg: SuPerConfig, intr: Intrinsics, num_shards: int,
         result = lm_solve(cfg, ctx, intr)
     surfels, graph = apply_deformation(cfg, state.surfels, state.graph,
                                        result.beta)
-    surfels, remap = fusion_mod.fuse_frame(cfg, intr, surfels, graph, frame)
+    surfels, remap, fdiag = fusion_mod.fuse_frame(cfg, intr, surfels, graph,
+                                                  frame)
     track = state.track
     tid = jnp.clip(track.track_id, 0, surfels.capacity - 1)
     track = track._replace(track_id=jnp.where(
@@ -77,7 +80,11 @@ def track_step_sharded(cfg: SuPerConfig, intr: Intrinsics, num_shards: int,
                              time=frame.time)
     outs = StepOutputs(lm_cost=result.cost, lm_damping=result.final_damping,
                        num_surfels=surfels.num_active,
-                       num_nodes=graph.num_active)
+                       num_nodes=graph.num_active,
+                       tuple_overflow=tuple_overflow,
+                       proj_overflow=fdiag.proj_overflow,
+                       add_overflow=fdiag.add_overflow,
+                       free_exhausted=fdiag.free_exhausted)
     return new_state, outs
 
 

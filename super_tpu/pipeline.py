@@ -43,6 +43,7 @@ class SuPerPipeline:
         self.track_results: Dict[int, np.ndarray] = {}
         self.errors: Dict[int, np.ndarray] = {}
         self.frame_times = []
+        self.overflow_totals: Dict[str, int] = {}
         self.logger = None
         if logdir is not None:
             from super_tpu.utils.viz import TrackingLogger
@@ -108,6 +109,20 @@ class SuPerPipeline:
                 self._eval_frame(t, frame, gt_xy[t], gt_valid[t])
             jax.block_until_ready(self.state.surfels.points)
             self.frame_times.append(_time.perf_counter() - tic)
+            if outs is not None:
+                names = ("tuple_overflow", "proj_overflow", "add_overflow",
+                         "free_exhausted")
+                # One host fetch for all counters (the run loop already
+                # syncs per frame for timing).
+                vals = jax.device_get([getattr(outs, n) for n in names])
+                for name, c in zip(names, vals):
+                    if int(c) > 0:
+                        self.overflow_totals[name] = \
+                            self.overflow_totals.get(name, 0) + int(c)
+                        if verbose:
+                            print(f"frame {t}: capacity overflow "
+                                  f"{name}={int(c)} (accuracy degraded; "
+                                  f"see StepOutputs docs)")
             if verbose and t % 10 == 0:
                 n = int(self.state.surfels.num_active)
                 print(f"frame {t}: {n} surfels, "
@@ -188,4 +203,6 @@ class SuPerPipeline:
         if self.state is not None:
             out["num_surfels"] = float(self.state.surfels.num_active)
             out["num_nodes"] = float(self.state.graph.num_active)
+        for name, total in self.overflow_totals.items():
+            out[f"overflow_{name}"] = float(total)
         return out

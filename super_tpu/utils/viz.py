@@ -43,6 +43,11 @@ class TrackingLogger:
         if frame_ms is not None:
             w.add_scalar("optimization_record/optim_time_per_frame",
                          frame_ms / 1e3, time)
+        for name in ("tuple_overflow", "proj_overflow", "add_overflow",
+                     "free_exhausted"):
+            if hasattr(outs, name):
+                w.add_scalar(f"capacity/{name}", int(getattr(outs, name)),
+                             time)
 
     def log_reproj(self, time: int, err_frames: Dict[int, np.ndarray],
                    edge_ids: Sequence[int] = ()):

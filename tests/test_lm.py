@@ -208,6 +208,68 @@ def test_lm_descends_and_tracks_motion(scene, tracker0):
     assert t_norm.mean() > 1e-4
 
 
+def _sched_cfg(cfg, **kw):
+    import dataclasses
+    return cfg.replace(solver=dataclasses.replace(cfg.solver, **kw))
+
+
+def test_deferred_schedule_matches_classic(scene, tracker0):
+    """On a monotonically descending solve the deferred-acceptance schedule
+    must produce the classic schedule's trajectory (same candidates, same
+    accept decisions, same damping ladder)."""
+    cfg, intr, seq, frames = scene
+    st = tracker0
+    # f64: in f32 the two compiled programs round the shared math
+    # differently (different fusion), which flips near-converged accept
+    # tests -- the *schedules* are what is under test here.
+    ctx = _to64(prepare_lm(cfg, st.surfels, st.graph, frames[1]))
+    intr64 = _to64(intr)
+
+    res_c = jax.jit(lambda c: lm_solve(
+        _sched_cfg(cfg, lm_schedule="classic"), c, intr64))(ctx)
+    res_d = jax.jit(lambda c: lm_solve(
+        _sched_cfg(cfg, lm_schedule="deferred"), c, intr64))(ctx)
+    np.testing.assert_allclose(np.asarray(res_d.beta), np.asarray(res_c.beta),
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(float(res_d.cost), float(res_c.cost),
+                               rtol=1e-9)
+    np.testing.assert_allclose(float(res_d.final_damping),
+                               float(res_c.final_damping), rtol=1e-9)
+
+
+def test_hypotheses_schedule_descends_at_least_as_much(scene, tracker0):
+    """Batched damping hypotheses (H=2: {u/v, u}) must reach a final cost no
+    worse than the classic single-test schedule."""
+    cfg, intr, seq, frames = scene
+    st = tracker0
+    ctx = prepare_lm(cfg, st.surfels, st.graph, frames[3])
+
+    res_c = jax.jit(lambda c: lm_solve(
+        _sched_cfg(cfg, lm_schedule="classic"), c, intr))(ctx)
+    res_h = jax.jit(lambda c: lm_solve(
+        _sched_cfg(cfg, lm_hypotheses=2), c, intr))(ctx)
+    assert np.isfinite(float(res_h.cost))
+    assert float(res_h.cost) <= float(res_c.cost) * (1 + 1e-5), (
+        float(res_h.cost), float(res_c.cost))
+
+
+def test_assembly_cost_matches_total_cost(scene, tracker0):
+    """The scalar cost emitted by the fused assembly pass must equal
+    total_cost at the same beta (both tuple and scatter paths)."""
+    cfg, intr, seq, frames = scene
+    st = tracker0
+    rng = np.random.default_rng(11)
+    j_cap = cfg.capacity.node_capacity
+    beta = (jnp.tile(IDENTITY_DQ[None], (j_cap, 1))
+            + 0.01 * jnp.asarray(rng.normal(size=(j_cap, 7)), jnp.float32))
+    for c in (cfg, _scatter_cfg(cfg)):
+        ctx = prepare_lm(c, st.surfels, st.graph, frames[1])
+        _, _, cost_a = assemble_normal_equations(c, ctx, beta, intr,
+                                                 with_cost=True)
+        cost_t = total_cost(c, ctx, beta, intr)
+        np.testing.assert_allclose(float(cost_a), float(cost_t), rtol=1e-5)
+
+
 def test_frozen_jacobian_direct_form(scene, tracker0):
     """The direct n^T dT/dq vector identities must match the contraction of
     the full analytic warp Jacobian."""

@@ -20,6 +20,7 @@ def _setup(rng, np_cap=4096, g=32, t_cap=64):
         slot_valid=jnp.ones((np_cap,), bool),
         block_tuple=jnp.asarray(bt),
         tuple_nodes=jnp.zeros((t_cap, 4), jnp.int32),
+        overflow_count=jnp.asarray(0, jnp.int32),
     )
     return layout, jnp.asarray(h), jnp.asarray(r), g, t_cap
 
