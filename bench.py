@@ -55,15 +55,14 @@ def main():
     h, w = args.height, args.width
     anchors, _, _ = grid_layout(h, w, args.mesh_step_size)
 
-    def pow2(n):
-        p = 1
-        while p < n:
-            p *= 2
-        return p
+    def round64(n):
+        # Multiple of 64, not pow2: the ED graph never grows past the
+        # frame-0 grid and the 7J Cholesky is cubic in the capacity.
+        return max(64, -(-n // 64) * 64)
 
     import dataclasses
 
-    node_cap = pow2(len(anchors))
+    node_cap = round64(len(anchors))
     chunk = 32768
     surfel_cap = -(-int(1.25 * h * w) // chunk) * chunk  # headroom, chunk-aligned
     cfg = SuPerConfig(
@@ -80,7 +79,7 @@ def main():
         # Dense ED graph (mesh_step 16-ish): more distinct anchor tuples,
         # and the 7J Cholesky loses to block-Jacobi PCG.
         solver_kw.update(assembly_tuple_cap=8 * node_cap,
-                         linear_solver="pcg")
+                         linear_solver="pcg", jtj_dtype="bf16")
     cfg = cfg.replace(solver=dataclasses.replace(cfg.solver, **solver_kw))
     intr = default_intrinsics(h, w)
 

@@ -73,13 +73,13 @@ def main(argv=None) -> int:
 
     anchors, _, _ = grid_layout(args.height, args.width, args.mesh_step_size)
 
-    def pow2_at_least(n):
-        p = 1
-        while p < n:
-            p *= 2
-        return p
+    def round64_at_least(n):
+        # Multiple of 64 (tile-friendly), not pow2: the ED graph never
+        # grows past the frame-0 grid, and the 7J Cholesky is cubic in the
+        # capacity (512 -> 384 at mesh_step 30 is ~2.4x less solve work).
+        return max(64, -(-n // 64) * 64)
 
-    node_cap = pow2_at_least(len(anchors))
+    node_cap = round64_at_least(len(anchors))
     # 1.25x pixel count, chunk-aligned: headroom for fusion adds without
     # paying assembly work on unused capacity.
     chunk_al = 32768
@@ -112,7 +112,7 @@ def main(argv=None) -> int:
                      use_derived_gradient=args.use_derived_gradient)
     if node_cap > 512:  # dense ED graph: scale tuple capacity, use PCG
         solver_kw.update(assembly_tuple_cap=8 * node_cap,
-                         linear_solver="pcg")
+                         linear_solver="pcg", jtj_dtype="bf16")
     cfg = cfg.replace(solver=dataclasses.replace(cfg.solver, **solver_kw))
 
     if args.synthetic or args.data_dir is None:

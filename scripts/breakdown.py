@@ -1,0 +1,160 @@
+#!/usr/bin/env python
+"""Per-stage timing breakdown of the tracking step on the local accelerator.
+
+Times each hot stage with tunnel-safe dependent-chain timing
+(utils/profiling.chain_time); use --stages to select a subset, e.g.:
+
+  python scripts/breakdown.py --stages lm_deferred,lm_classic,proj_scatter
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--height", type=int, default=480)
+    ap.add_argument("--width", type=int, default=640)
+    ap.add_argument("--mesh_step_size", type=int, default=30)
+    ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--association", default="per_frame")
+    ap.add_argument("--stages", default="prepare,lm_deferred,lm_classic,"
+                    "proj_sort,proj_scatter,fuse,step")
+    args = ap.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from super_tpu.config import CapacityConfig, SuPerConfig
+    from super_tpu.core import fusion as fusion_mod
+    from super_tpu.core.graph import grid_layout
+    from super_tpu.core.lm import lm_solve
+    from super_tpu.core.losses import prepare_lm
+    from super_tpu.core.preprocess import preprocess_frame
+    from super_tpu.core.tracker import init_tracker, track_step
+    from super_tpu.data.synthetic import default_intrinsics, generate
+    from super_tpu.utils.profiling import chain_time
+
+    h, w = args.height, args.width
+    anchors, _, _ = grid_layout(h, w, args.mesh_step_size)
+
+    def round64(n):
+        return max(64, -(-n // 64) * 64)
+
+    node_cap = round64(len(anchors))
+    chunk = 32768
+    surfel_cap = -(-int(1.25 * h * w) // chunk) * chunk
+    cfg = SuPerConfig(
+        height=h, width=w, mesh_step_size=args.mesh_step_size,
+        capacity=CapacityConfig(
+            surfel_capacity=surfel_cap,
+            node_capacity=node_cap,
+            edge_capacity=4 * node_cap,
+            triangle_capacity=2 * node_cap,
+        ),
+    )
+    solver_kw = dict(association=args.association)
+    if node_cap > 512:
+        solver_kw.update(assembly_tuple_cap=8 * node_cap,
+                         linear_solver="pcg", jtj_dtype="bf16")
+    cfg = cfg.replace(solver=dataclasses.replace(cfg.solver, **solver_kw))
+    intr = default_intrinsics(h, w)
+
+    seq = generate(3, h, w, intr=intr)
+    pre = jax.jit(lambda d, c, t: preprocess_frame(cfg, intr, d, c, t))
+    frames = [pre(jnp.asarray(seq.depths[t]),
+                  jnp.asarray(seq.colors[t].transpose(2, 0, 1)),
+                  jnp.float32(t)) for t in range(3)]
+    state0 = init_tracker(cfg, frames[0])
+    jax.block_until_ready(state0.surfels.points)
+
+    def sched_cfg(**kw):
+        return cfg.replace(solver=dataclasses.replace(cfg.solver, **kw))
+
+    stages = {}
+
+    def reg(name, fn, *fargs, probe=None):
+        stages[name] = (fn, fargs, probe)
+
+    reg("prepare",
+        jax.jit(lambda s: prepare_lm(cfg, s.surfels, s.graph, frames[1])),
+        state0, probe=lambda c: jnp.sum(c.sf_diff[:, :8]))
+    ctx = jax.jit(lambda s: prepare_lm(cfg, s.surfels, s.graph,
+                                       frames[1]))(state0)
+    for sched in ("deferred", "classic"):
+        c2 = sched_cfg(lm_schedule=sched)
+        reg(f"lm_{sched}", jax.jit(lambda c, _c2=c2: lm_solve(_c2, c, intr)),
+            ctx, probe=lambda r: r.cost)
+    reg("lm_hyp2", jax.jit(lambda c: lm_solve(sched_cfg(lm_hypotheses=2),
+                                              c, intr)),
+        ctx, probe=lambda r: r.cost)
+    # One-iteration variants: slope vs the 10-iteration numbers isolates
+    # the per-iteration cost from the fixed prologue (assoc pass etc.).
+    reg("lm_defer1",
+        jax.jit(lambda c: lm_solve(sched_cfg(num_iterations=1), c, intr)),
+        ctx, probe=lambda r: r.cost)
+    reg("lm_pallas",
+        jax.jit(lambda c: lm_solve(sched_cfg(assembly_backend="pallas"),
+                                   c, intr)),
+        ctx, probe=lambda r: r.cost)
+
+    from super_tpu.core.losses import assemble_normal_equations
+    from super_tpu.geometry.quaternion import IDENTITY_DQ
+
+    j_cap = cfg.capacity.node_capacity
+    beta_t = jnp.tile(IDENTITY_DQ[None], (j_cap, 1))
+    jtj0, jtr0 = jax.jit(
+        lambda c, b: assemble_normal_equations(cfg, c, b, intr))(ctx, beta_t)
+    a0 = jtj0 + 10.0 * jnp.eye(7 * j_cap)
+
+    def chol_solve(a, b):
+        d = jnp.sqrt(jnp.maximum(jnp.diagonal(a), 1e-20))
+        a_s = a / d[:, None] / d[None, :]
+        return jax.scipy.linalg.cho_solve((jnp.linalg.cholesky(a_s), True),
+                                          b / d) / d
+
+    reg("chol", jax.jit(chol_solve), a0, jtr0)
+    reg("assemble",
+        jax.jit(lambda c, b: assemble_normal_equations(cfg, c, b, intr,
+                                                       with_cost=True)),
+        ctx, beta_t, probe=lambda o: o[2])
+    for mode in ("sort", "scatter"):
+        cm = cfg.replace(proj_map_mode=mode)
+        reg(f"proj_{mode}",
+            jax.jit(lambda s, _cm=cm: fusion_mod.build_projection_maps(
+                _cm, intr, s.surfels)),
+            state0, probe=lambda o: jnp.sum(o[0][:, :8]))
+    reg("fuse",
+        jax.jit(lambda s: fusion_mod.fuse_frame(cfg, intr, s.surfels,
+                                                s.graph, frames[1])),
+        state0, probe=lambda o: o[0].points[0, 0])
+    reg("step", jax.jit(lambda s: track_step(cfg, intr, s, frames[1])),
+        state0, probe=lambda o: o[1].lm_cost)
+
+    wanted = args.stages.split(",")
+    out = {}
+    for name in wanted:
+        if name not in stages:
+            continue
+        fn, fargs, probe = stages[name]
+        t0 = time.perf_counter()
+        dt = chain_time(fn, *fargs, probe=probe, reps=args.reps)
+        out[name] = round(dt * 1e3, 2)
+        print(f"{name}: {dt*1e3:.1f} ms  (total incl. compile "
+              f"{time.perf_counter()-t0:.0f} s)", flush=True)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -88,6 +88,13 @@ class SolverConfig:
     # the XLA path is currently faster (grid-step overhead), the Pallas
     # kernel wins for long tuple runs / larger pad groups.
     assembly_backend: str = "xla"
+    # Storage dtype of the dense (7J, 7J) JTJ accumulator: "f32" or "bf16".
+    # bf16 halves the dominant buffer of dense ED graphs (822 MB -> 411 MB
+    # at J = 2048, the config that OOMed a single v5e); the per-tuple Gram
+    # reduction stays f32, only the expanded dense matrix is stored bf16
+    # (~0.4% relative error absorbed by the damped accept/reject loop).
+    # bf16 requires linear_solver="pcg" (the matvec accumulates in f32).
+    jtj_dtype: str = "f32"
     # Data association for the point-plane term:
     #   "per_iteration": re-project + re-sample the target maps inside every
     #     LM iteration (reference semantics, super/loss.py:222-248) --

@@ -48,7 +48,8 @@ from super_tpu.geometry.camera import Intrinsics
 from super_tpu.geometry.quaternion import IDENTITY_DQ
 
 
-def _block_jacobi_pcg(a, b, j_cap: int, iterations: int, inv_d=None):
+def _block_jacobi_pcg(a, b, j_cap: int, iterations: int, inv_d=None,
+                      scaled_eps: float = 0.0):
     """Preconditioned conjugate gradients on the (Jacobi-scaled) normal
     system.
 
@@ -60,26 +61,36 @@ def _block_jacobi_pcg(a, b, j_cap: int, iterations: int, inv_d=None):
     When ``inv_d`` is given, ``a`` is the *unscaled* matrix and the
     symmetric scaling D^-1/2 A D^-1/2 is folded into the matvec -- avoiding
     a second dim^2 buffer (822 MB at J = 2048).
+
+    ``scaled_eps`` adds Tikhonov damping in the *scaled* space (unit
+    diagonal), where a storage-precision perturbation has a known spectral
+    norm: bf16 accumulators (jtj_dtype="bf16") carry elementwise noise
+    ~eps_bf16 whose dim x dim random sign pattern reaches ||E||_2 ~
+    eps_bf16 * sqrt(dim) -- enough to push near-null eigenvalues of the
+    scaled system negative and blow up CG.  Damping at that magnitude
+    restores PD; the step stays a descent direction and the LM
+    accept/reject loop absorbs the extra inexactness.
     """
     dim = 7 * j_cap
 
     if inv_d is None:
         def matvec(p):
-            return a @ p
+            return a @ p + scaled_eps * p
         a_diag_src = a
         d_scale = None
     else:
         def matvec(p):
-            return inv_d * (a @ (inv_d * p))
+            return inv_d * (a @ (inv_d * p)) + scaled_eps * p
         a_diag_src = a
         d_scale = inv_d.reshape(j_cap, 7)
 
     blocks = a_diag_src.reshape(j_cap, 7, j_cap, 7)
     diag = blocks[jnp.arange(j_cap), :, jnp.arange(j_cap), :]  # (J, 7, 7)
+    diag = diag.astype(b.dtype)  # f32 preconditioner even for bf16 A
     if d_scale is not None:
         diag = diag * d_scale[:, :, None] * d_scale[:, None, :]
-    eye7 = jnp.eye(7, dtype=a.dtype)
-    diag_inv = jnp.linalg.inv(diag + 1e-8 * eye7)
+    eye7 = jnp.eye(7, dtype=b.dtype)
+    diag_inv = jnp.linalg.inv(diag + (1e-8 + scaled_eps) * eye7)
 
     def precond(r):
         return jnp.einsum("jab,jb->ja", diag_inv,
@@ -116,6 +127,12 @@ class LMResult(NamedTuple):
 
 def lm_solve(cfg: SuPerConfig, ctx: LMContext, intr: Intrinsics,
              axis_name=None) -> LMResult:
+    if cfg.solver.jtj_dtype == "bf16" and \
+            cfg.solver.linear_solver != "pcg":
+        raise ValueError(
+            "jtj_dtype='bf16' requires linear_solver='pcg' (the dense "
+            "Cholesky would materialize an f32 copy, defeating the bf16 "
+            "accumulator's memory purpose)")
     j_cap = ctx.ed_mask.shape[0]
     dim = 7 * j_cap
     dtype = ctx.d_eds.dtype
@@ -140,14 +157,25 @@ def lm_solve(cfg: SuPerConfig, ctx: LMContext, intr: Intrinsics,
         squares into the normal matrix; scaling recovers ~6 digits of f32
         accuracy.  The solution is mathematically unchanged (the reference
         solves raw in f64, super/LM.py:58-59).
+
+        With a bf16 ``a`` (jtj_dtype="bf16", dense ED graphs) the PCG
+        matvec reads bf16 and accumulates f32; everything vector-sized
+        stays f32.
         """
-        d = jnp.sqrt(jnp.maximum(jnp.diagonal(a), 1e-20))
+        diag_a = jnp.diagonal(a).astype(rhs.dtype)
+        d = jnp.sqrt(jnp.maximum(diag_a, 1e-20))
         inv_d = 1.0 / d
         b_s = rhs * inv_d
         if cfg.solver.linear_solver == "pcg":
             # Scaling folded into the matvec: no second dim^2 buffer.
+            # bf16 storage: damp by the storage-noise spectral norm
+            # (see _block_jacobi_pcg docstring) to keep CG PD.
+            eps_s = 0.0
+            if a.dtype == jnp.bfloat16:
+                eps_s = float(2.0 ** -8) * float(dim) ** 0.5
             x = _block_jacobi_pcg(a, b_s, j_cap,
-                                  cfg.solver.pcg_iterations, inv_d=inv_d)
+                                  cfg.solver.pcg_iterations, inv_d=inv_d,
+                                  scaled_eps=eps_s)
         else:
             a_s = a * inv_d[:, None] * inv_d[None, :]
             chol = jnp.linalg.cholesky(a_s)
@@ -162,7 +190,7 @@ def lm_solve(cfg: SuPerConfig, ctx: LMContext, intr: Intrinsics,
     def damped(jtj, u):
         # Damping on the diagonal (LM.py:97) without materializing a dense
         # identity (dim^2 can be ~800 MB for dense ED graphs).
-        return jtj.at[diag_idx, diag_idx].add(u)
+        return jtj.at[diag_idx, diag_idx].add(u.astype(jtj.dtype))
 
     if cfg.solver.lm_hypotheses > 1:
         return _lm_solve_hypotheses(cfg, ctx, intr, axis_name, assoc, beta0,
@@ -219,7 +247,8 @@ def _lm_solve_deferred(cfg: SuPerConfig, beta0, u0, v, assemble, damped,
     j_cap = beta0.shape[0]
     dim = 7 * j_cap
     dtype = beta0.dtype
-    zero_jtj = jnp.zeros((dim, dim), dtype)
+    acc_dtype = jnp.bfloat16 if cfg.solver.jtj_dtype == "bf16" else dtype
+    zero_jtj = jnp.zeros((dim, dim), acc_dtype)
     zero_jtr = jnp.zeros((dim,), dtype)
     big = jnp.asarray(1e10, dtype)
 

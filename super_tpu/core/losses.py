@@ -493,6 +493,7 @@ def _add_blocks(jtj, rows_nodes, cols_nodes, vals):
     rows_nodes/cols_nodes: broadcast-compatible node-id arrays; vals: their
     broadcast shape + (7, 7).
     """
+    vals = vals.astype(jtj.dtype)  # bf16 accumulators (jtj_dtype="bf16")
     if jtj.ndim == 4:
         return jtj.at[rows_nodes, cols_nodes].add(vals)
     seven = jnp.arange(7)
@@ -644,10 +645,12 @@ def assemble_normal_equations(cfg: SuPerConfig, ctx: LMContext, beta,
     # overhead is affordable (~1 GB at J=512); for dense graphs it would be
     # 16 GB, so blocks scatter directly into the final dense matrix.
     block_layout = j_cap <= 512
+    acc_dtype = (jnp.bfloat16 if cfg.solver.jtj_dtype == "bf16"
+                 else beta.dtype)
     if block_layout:
-        jtj = jnp.zeros((j_cap, j_cap, 7, 7), dtype=beta.dtype)
+        jtj = jnp.zeros((j_cap, j_cap, 7, 7), dtype=acc_dtype)
     else:
-        jtj = jnp.zeros((dim, dim), dtype=beta.dtype)
+        jtj = jnp.zeros((dim, dim), dtype=acc_dtype)
     jtr = jnp.zeros((j_cap, 7), dtype=beta.dtype)
     if axis_name is None:
         graph_scale = 1.0

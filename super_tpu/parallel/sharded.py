@@ -36,7 +36,18 @@ _SURFEL_FIELDS = ("sf_mask", "sf_knn_idx", "sf_knn_w", "sf_knn", "sf_diff")
 
 
 def shard_ctx(ctx: LMContext, axis_name: str, num_shards: int) -> LMContext:
-    """Slice the surfel-dimension (last-axis) fields of the LM context."""
+    """Slice the surfel-dimension (last-axis) fields of the LM context.
+
+    Works for both assembly modes: the tuple layout's padded slot order is
+    sliced together with the surfel fields, and ``block_tuple`` (one id per
+    G-block) is sliced to the shard's block range -- every shard then
+    reduces its own blocks into the full (T, ...) tuple accumulators and
+    the cross-chip ``psum`` of (JTJ, JTr) recovers the exact whole-frame
+    normal equations.  Slice boundaries always fall on G-block boundaries
+    because the padded capacity is a multiple of the streaming chunk
+    (core/assembly.py:build_tuple_layout) and chunk % (G * num_shards) == 0
+    for power-of-two shard counts.
+    """
     idx = jax.lax.axis_index(axis_name)
     repl = {}
     for name in _SURFEL_FIELDS:
@@ -44,19 +55,23 @@ def shard_ctx(ctx: LMContext, axis_name: str, num_shards: int) -> LMContext:
         local = arr.shape[-1] // num_shards
         repl[name] = jax.lax.dynamic_slice_in_dim(arr, idx * local, local,
                                                   arr.ndim - 1)
+    if ctx.layout is not None:
+        bt = ctx.layout.block_tuple
+        local_b = bt.shape[0] // num_shards
+        bt_local = jax.lax.dynamic_slice_in_dim(bt, idx * local_b, local_b, 0)
+        repl["layout"] = ctx.layout._replace(block_tuple=bt_local)
     return ctx._replace(**repl)
 
 
 def track_step_sharded(cfg: SuPerConfig, intr: Intrinsics, num_shards: int,
                        state: TrackerState, frame: FrameData
                        ) -> Tuple[TrackerState, StepOutputs]:
-    """track_step with the LM solve sharded over the 'shard' mesh axis."""
-    if num_shards > 1 and cfg.solver.assembly_mode == "tuple":
-        # The tuple layout is a whole-frame structure; the sharded path
-        # slices the surfel dimension, so it uses the scatter assembly.
-        import dataclasses
-        cfg = cfg.replace(solver=dataclasses.replace(
-            cfg.solver, assembly_mode="scatter"))
+    """track_step with the LM solve sharded over the 'shard' mesh axis.
+
+    The tuple-grouped MXU assembly shards directly: shard_ctx slices the
+    padded slot order and the per-shard block->tuple map, so each chip
+    reduces its G-blocks into full-size tuple accumulators and the psum of
+    (JTJ, JTr, cost) is exact (no scatter-assembly fallback)."""
     ctx = prepare_lm(cfg, state.surfels, state.graph, frame)
     tuple_overflow = (ctx.layout.overflow_count if ctx.layout is not None
                       else jnp.asarray(0, jnp.int32))

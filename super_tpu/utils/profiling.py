@@ -30,9 +30,23 @@ def chain_time(fn: Callable, *args, probe: Callable = None, reps: int = 5,
     dep = jnp.float32(0.0)
 
     def call(d):
-        new_args = [a + d * 0 if isinstance(a, jnp.ndarray)
-                    and jnp.issubdtype(a.dtype, jnp.floating) else a
-                    for a in args]
+        # Inject the dependency scalar into the first floating leaf of each
+        # arg pytree (args are often NamedTuple states/contexts, not bare
+        # arrays -- a top-level isinstance check would silently break the
+        # chain and under-measure).  One leaf serializes the chain.
+        def inject_tree(tree):
+            leaves, treedef = jax.tree.flatten(tree)
+            done = False
+            out = []
+            for a in leaves:
+                if not done and isinstance(a, jnp.ndarray) and \
+                        jnp.issubdtype(a.dtype, jnp.floating):
+                    a = a + d.astype(a.dtype) * 0
+                    done = True
+                out.append(a)
+            return jax.tree.unflatten(treedef, out)
+
+        new_args = [inject_tree(a) for a in args]
         return fn(*new_args, **kwargs)
 
     out = call(dep)

@@ -253,6 +253,50 @@ def test_hypotheses_schedule_descends_at_least_as_much(scene, tracker0):
         float(res_h.cost), float(res_c.cost))
 
 
+def test_bf16_jtj_dense_layout_descends(scene, tracker0):
+    """bf16 JTJ accumulation + block-Jacobi PCG on the dense accumulation
+    layout (node cap > 512, the J=2048 memory path) must still descend to
+    nearly the f32 solution."""
+    import dataclasses
+
+    cfg, intr, seq, frames = scene
+    st = tracker0
+    # Same scene, node capacity pushed over the block-layout cutoff so the
+    # dense (7J, 7J) accumulator path is exercised.
+    cfg_dense = cfg.replace(capacity=dataclasses.replace(
+        cfg.capacity, node_capacity=576))
+    from super_tpu.core.anchoring import update_graph_knn
+    from super_tpu.core.graph import build_graph
+    from super_tpu.core.tracker import init_surfels_from_frame
+
+    graph = update_graph_knn(cfg_dense, build_graph(cfg_dense, frames[0]))
+    surfels = init_surfels_from_frame(cfg_dense, graph, frames[0])
+    ctx = prepare_lm(cfg_dense, surfels, graph, frames[3])
+    cost0 = float(total_cost(cfg_dense, ctx, jnp.tile(
+        IDENTITY_DQ[None], (576, 1)), intr))
+
+    cfg16 = cfg_dense.replace(solver=dataclasses.replace(
+        cfg_dense.solver, jtj_dtype="bf16", linear_solver="pcg"))
+    res16 = jax.jit(lambda c: lm_solve(cfg16, c, intr))(ctx)
+    assert np.isfinite(float(res16.cost))
+    assert float(res16.cost) < 0.5 * cost0, (float(res16.cost), cost0)
+
+    # Order-of-magnitude descent: the bf16 storage noise forces extra
+    # scaled-space damping (core/lm.py solve_damped), so steps are more
+    # conservative than f32 -- a memory fallback, not a parity path.
+    assert float(res16.cost) < 0.1 * cost0, (float(res16.cost), cost0)
+
+
+def test_bf16_jtj_requires_pcg(scene):
+    import dataclasses
+
+    cfg, intr, seq, frames = scene
+    cfg16 = cfg.replace(solver=dataclasses.replace(
+        cfg.solver, jtj_dtype="bf16"))  # cholesky default
+    with pytest.raises(ValueError, match="bf16"):
+        lm_solve(cfg16, None, intr)  # validated before ctx is touched
+
+
 def test_assembly_cost_matches_total_cost(scene, tracker0):
     """The scalar cost emitted by the fused assembly pass must equal
     total_cost at the same beta (both tuple and scatter paths)."""

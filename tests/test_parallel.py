@@ -31,11 +31,13 @@ def test_mesh_construction():
     assert mesh.shape["stream"] == len(jax.devices())
 
 
-def test_sharded_normal_equations_exact(scene):
-    """The surfel-sharded, psum-combined (JTJ, JTr) must equal the
-    single-device assembly (the only cross-chip traffic of the solver)."""
+@pytest.mark.parametrize("mode", ["scatter", "tuple"])
+def test_sharded_normal_equations_exact(scene, mode):
+    """The surfel-sharded, psum-combined (JTJ, JTr, cost) must equal the
+    single-device assembly (the only cross-chip traffic of the solver) --
+    for both the scatter path and the tuple-grouped MXU path (which shards
+    by G-block range, parallel/sharded.py:shard_ctx)."""
     import dataclasses
-    import functools
 
     from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
@@ -46,23 +48,26 @@ def test_sharded_normal_equations_exact(scene):
 
     cfg, intr, seq, frames = scene
     cfg = cfg.replace(solver=dataclasses.replace(cfg.solver,
-                                                 assembly_mode="scatter"))
+                                                 assembly_mode=mode))
     state = init_tracker(cfg, frames[0])
     ctx = prepare_lm(cfg, state.surfels, state.graph, frames[1])
+    assert (ctx.layout is not None) == (mode == "tuple")
     j_cap = cfg.capacity.node_capacity
     beta = jnp.tile(IDENTITY_DQ[None], (j_cap, 1))
 
-    jtj_ref, jtr_ref = assemble_normal_equations(cfg, ctx, beta, intr)
+    jtj_ref, jtr_ref, cost_ref = assemble_normal_equations(
+        cfg, ctx, beta, intr, with_cost=True)
 
     mesh = make_mesh(num_streams=1, num_shards=8)
 
     def local(c, b):
         c = shard_ctx(c, "shard", 8)
-        return assemble_normal_equations(cfg, c, b, intr, axis_name="shard")
+        return assemble_normal_equations(cfg, c, b, intr, axis_name="shard",
+                                         with_cost=True)
 
     sharded = shard_map(local, mesh=mesh, in_specs=(P(), P()),
-                        out_specs=(P(), P()), check_rep=False)
-    jtj_s, jtr_s = jax.jit(sharded)(ctx, beta)
+                        out_specs=(P(), P(), P()), check_rep=False)
+    jtj_s, jtr_s, cost_s = jax.jit(sharded)(ctx, beta)
 
     scale = float(jnp.max(jnp.abs(jtj_ref))) + 1e-12
     np.testing.assert_allclose(np.asarray(jtj_s) / scale,
@@ -70,6 +75,7 @@ def test_sharded_normal_equations_exact(scene):
     rscale = float(jnp.max(jnp.abs(jtr_ref))) + 1e-12
     np.testing.assert_allclose(np.asarray(jtr_s) / rscale,
                                np.asarray(jtr_ref) / rscale, atol=2e-5)
+    np.testing.assert_allclose(float(cost_s), float(cost_ref), rtol=1e-5)
 
 
 def test_multichip_step_matches_single(scene):
