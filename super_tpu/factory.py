@@ -71,10 +71,18 @@ def build_models(cfg: SuPerConfig,
         else:
             depth_params = depth_model.init(key, dummy)
     elif cfg.depth_model == "raft_stereo":
-        from super_tpu.models.raft_stereo import RAFTStereo
+        from super_tpu.models.raft_stereo import (
+            RAFTStereo,
+            convert_torch_raft_stereo,
+        )
 
         depth_model = RAFTStereo(iters=32)
-        depth_params = depth_model.init(key, dummy, dummy)
+        if depth_checkpoint:
+            # DataParallel checkpoint load (shared_functions.py:74-82).
+            depth_params = convert_torch_raft_stereo(
+                _load_torch_state(depth_checkpoint))
+        else:
+            depth_params = depth_model.init(key, dummy, dummy)
 
     seg_model = seg_params = None
     if cfg.seg_model is not None:

@@ -12,17 +12,22 @@ TPU-first choices:
   radius lookup is a linear-interp gather along the epipolar line
   (replacing the optional CUDA samplers corr.py:5-14);
 - NHWC layout; instance norms are parameter-free (torch affine=False
-  default).
+  default); 'batch' norms are inference-mode running-stats affines
+  (resnet._BN) so converted checkpoints fold exactly
+  (convert_torch_raft_stereo below; tested for output parity against the
+  reference torch model in tests/test_raft_parity.py).
 """
 
 from __future__ import annotations
 
 import functools
-from typing import List, Sequence, Tuple
+from typing import Any, Dict, List, Sequence, Tuple
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+
+from super_tpu.models.resnet import _BN
 
 CORR_LEVELS = 4
 CORR_RADIUS = 4
@@ -41,10 +46,6 @@ def _norm(x, kind):
         return _inorm(x)
     if kind == "none":
         return x
-    if kind == "batch":
-        # Inference-mode batch norm folds into identity at init; converted
-        # checkpoints carry running stats via _BN in resnet.py if needed.
-        return _inorm(x)  # harmless normalization proxy at init
     raise ValueError(kind)
 
 
@@ -55,15 +56,22 @@ class ResidualBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        def norm(y, name):
+            # 'batch' carries running-stats params (extractor.py:22-26,
+            # eval-mode semantics); instance/none are parameter-free.
+            if self.norm_fn == "batch":
+                return _BN(name=name)(y)
+            return _norm(y, self.norm_fn)
+
         y = nn.Conv(self.planes, (3, 3), strides=(self.stride,) * 2,
                     padding=1, name="conv1")(x)
-        y = nn.relu(_norm(y, self.norm_fn))
+        y = nn.relu(norm(y, "norm1"))
         y = nn.Conv(self.planes, (3, 3), padding=1, name="conv2")(y)
-        y = nn.relu(_norm(y, self.norm_fn))
+        y = nn.relu(norm(y, "norm2"))
         if self.stride != 1 or x.shape[-1] != self.planes:
             x = nn.Conv(self.planes, (1, 1), strides=(self.stride,) * 2,
                         name="downsample")(x)
-            x = _norm(x, self.norm_fn)
+            x = norm(x, "norm3")
         return nn.relu(x + y)
 
 
@@ -100,7 +108,11 @@ class MultiBasicEncoder(nn.Module):
         d = self.downsample
         x = nn.Conv(64, (7, 7), strides=(2 if d > 2 else 1,) * 2, padding=3,
                     name="conv1")(x)
-        x = nn.relu(_norm(x, self.norm_fn))
+        if self.norm_fn == "batch":
+            x = _BN(name="norm1")(x)
+        else:
+            x = _norm(x, self.norm_fn)
+        x = nn.relu(x)
         for i, (dim, s) in enumerate(
                 [(64, 1), (96, 2 if d > 1 else 1), (128, 2 if d > 0 else 1)]):
             x = ResidualBlock(dim, self.norm_fn, s, name=f"layer{i+1}_0")(x)
@@ -211,9 +223,30 @@ def _pool2x(x):
     return nn.avg_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
 
+def _axis_weights(n_out: int, n_in: int, dtype):
+    """Row-stochastic (n_out, n_in) bilinear weights, align_corners=True
+    coordinate mapping (x_in = x_out * (n_in-1)/(n_out-1))."""
+    if n_out == 1 or n_in == 1:
+        pos = jnp.zeros((n_out,), dtype)
+    else:
+        pos = jnp.arange(n_out, dtype=dtype) * ((n_in - 1) / (n_out - 1))
+    i0 = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, n_in - 1)
+    i1 = jnp.clip(i0 + 1, 0, n_in - 1)
+    frac = pos - i0.astype(dtype)
+    rows = jnp.arange(n_out)
+    w = jnp.zeros((n_out, n_in), dtype)
+    return w.at[rows, i0].add(1 - frac).at[rows, i1].add(frac)
+
+
 def _interp_to(x, ref):
-    n, h, w, c = ref.shape
-    return jax.image.resize(x, (x.shape[0], h, w, x.shape[-1]), "bilinear")
+    """Bilinear resize with torch align_corners=True semantics
+    (update.py:95-97) as two separable matmuls (MXU-friendly)."""
+    n, h, w, _ = ref.shape
+    if x.shape[1:3] == (h, w):
+        return x
+    wy = _axis_weights(h, x.shape[1], x.dtype)
+    wx = _axis_weights(w, x.shape[2], x.dtype)
+    return jnp.einsum("oh,nhwc,pw->nopc", wy, x, wx)
 
 
 class UpdateBlock(nn.Module):
@@ -322,3 +355,88 @@ def depth_from_disparity(disp, fx=882.0850326, baseline=5.8513759749420302e-3,
                          cx1=445.06146749, cx2=445.061467):
     """RAFT disparity-flow -> depth (raft_core/utils/utils.py:96-113)."""
     return (fx * baseline) / (-disp + (cx2 - cx1))
+
+
+def convert_torch_raft_stereo(state_dict: Dict[str, Any]) -> Dict[str, Any]:
+    """Reference RAFT-Stereo checkpoint -> RAFTStereo flax params.
+
+    Key layout: raft_core/raft_stereo.py:22-32 with the SuPer defaults
+    (options.py:120-148): fnet (instance norm, no norm params), cnet
+    ('batch' context_norm -> running-stats _BN), context_zqr_convs, and
+    update_block {gru08/16/32, motion encoder, flow_head, mask}.  Checkpoints
+    saved through nn.DataParallel carry a 'module.' prefix
+    (shared_functions.py:74-82) -- stripped here.  Output parity vs the
+    torch model is tested in tests/test_raft_parity.py.
+    """
+    import numpy as np
+
+    sd = {}
+    for k, v in state_dict.items():
+        if k.startswith("module."):
+            k = k[len("module."):]
+        sd[k] = np.asarray(v.detach().cpu().numpy()
+                           if hasattr(v, "detach") else v)
+
+    def conv(key):
+        out = {"kernel": jnp.asarray(sd[key + ".weight"].transpose(2, 3, 1, 0))}
+        if key + ".bias" in sd:
+            out["bias"] = jnp.asarray(sd[key + ".bias"])
+        return out
+
+    def bn(key):
+        return {
+            "scale": jnp.asarray(sd[key + ".weight"]),
+            "bias": jnp.asarray(sd[key + ".bias"]),
+            "mean": jnp.asarray(sd[key + ".running_mean"]),
+            "var": jnp.asarray(sd[key + ".running_var"]),
+        }
+
+    def res_block(t, with_bn):
+        entry = {"conv1": conv(t + ".conv1"), "conv2": conv(t + ".conv2")}
+        if with_bn:
+            entry["norm1"] = bn(t + ".norm1")
+            entry["norm2"] = bn(t + ".norm2")
+        if t + ".downsample.0.weight" in sd:
+            entry["downsample"] = conv(t + ".downsample.0")
+            if with_bn:
+                entry["norm3"] = bn(t + ".norm3")
+        return entry
+
+    fnet = {"conv1": conv("fnet.conv1"), "conv2": conv("fnet.conv2")}
+    for li in range(1, 4):
+        for bi in range(2):
+            fnet[f"layer{li}_{bi}"] = res_block(f"fnet.layer{li}.{bi}",
+                                                with_bn=False)
+
+    cnet = {"conv1": conv("cnet.conv1"), "norm1": bn("cnet.norm1")}
+    for li in range(1, 6):
+        for bi in range(2):
+            cnet[f"layer{li}_{bi}"] = res_block(f"cnet.layer{li}.{bi}",
+                                                with_bn=True)
+    # outputs08/16 are [hidden, context] Sequential(ResidualBlock, Conv)
+    # pairs; outputs32 plain convs (extractor.py:228-250).
+    for si, scale in enumerate(("08", "16")):
+        for oi, hc in enumerate(("h", "c")):
+            cnet[f"out{si}_{hc}_res"] = res_block(
+                f"cnet.outputs{scale}.{oi}.0", with_bn=True)
+            cnet[f"out{si}_{hc}"] = conv(f"cnet.outputs{scale}.{oi}.1")
+    cnet["out2_h"] = conv("cnet.outputs32.0")
+    cnet["out2_c"] = conv("cnet.outputs32.1")
+
+    update = {
+        "encoder": {name: conv(f"update_block.encoder.{name}")
+                    for name in ("convc1", "convc2", "convf1", "convf2",
+                                 "conv")},
+        "flow_head_1": conv("update_block.flow_head.conv1"),
+        "flow_head_2": conv("update_block.flow_head.conv2"),
+        "mask_1": conv("update_block.mask.0"),
+        "mask_2": conv("update_block.mask.2"),
+    }
+    for g in ("gru08", "gru16", "gru32"):
+        update[g] = {name: conv(f"update_block.{g}.{name}")
+                     for name in ("convz", "convr", "convq")}
+
+    params = {"fnet": fnet, "cnet": cnet, "update": update}
+    for i in range(3):
+        params[f"context_zqr_{i}"] = conv(f"context_zqr_convs.{i}")
+    return {"params": params}
