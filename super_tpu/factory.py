@@ -91,19 +91,31 @@ def build_models(cfg: SuPerConfig,
         seg_model = build_seg_model(cfg.seg_model, cfg.num_classes,
                                     num_layers)
         if seg_checkpoint:
-            # smp checkpoints: encoder.* follow torchvision naming.
-            from super_tpu.models.resnet import convert_torch_resnet
-
             sd = _load_torch_state(seg_checkpoint)
-            params = seg_model.init(key, dummy)
-            try:
-                enc = convert_torch_resnet(
-                    {k[len("encoder."):]: v for k, v in sd.items()
-                     if k.startswith("encoder.")}, num_layers)
-                params["params"]["encoder"] = enc["params"]
-            except KeyError:
-                pass  # non-strict, like load_checkpoints
-            seg_params = params
+            from super_tpu.models.segmentation import (
+                DeepLabV3Plus,
+                convert_torch_smp_deeplab,
+            )
+
+            if isinstance(seg_model, DeepLabV3Plus):
+                # Full smp checkpoint (encoder + decoder + head), the layout
+                # the reference loads (seg/inference.py:102-128).
+                seg_params = convert_torch_smp_deeplab(sd, num_layers)
+            else:
+                # U-Net-family: encoder.* follows torchvision naming; the
+                # smp decoder layout differs from ours, so only the encoder
+                # converts (non-strict, like load_checkpoints).
+                from super_tpu.models.resnet import convert_torch_resnet
+
+                params = seg_model.init(key, dummy)
+                try:
+                    enc = convert_torch_resnet(
+                        {k[len("encoder."):]: v for k, v in sd.items()
+                         if k.startswith("encoder.")}, num_layers)
+                    params["params"]["encoder"] = enc["params"]
+                except KeyError:
+                    pass
+                seg_params = params
         else:
             seg_params = seg_model.init(key, dummy)
 

@@ -39,25 +39,28 @@ class _BN(nn.Module):
         return x * inv + (bias - mean * inv)
 
 
-def _conv(x, features, kernel, stride=1, name=None):
-    pad = kernel // 2
+def _conv(x, features, kernel, stride=1, name=None, dilation=1):
+    pad = (kernel // 2) * dilation
     return nn.Conv(features, (kernel, kernel), strides=(stride, stride),
                    padding=((pad, pad), (pad, pad)), use_bias=False,
-                   name=name)(x)
+                   kernel_dilation=(dilation, dilation), name=name)(x)
 
 
 class BasicBlock(nn.Module):
     features: int
     stride: int = 1
     downsample: bool = False
+    dilation: int = 1
 
     @nn.compact
     def __call__(self, x):
         identity = x
-        out = _conv(x, self.features, 3, self.stride, name="conv1")
+        out = _conv(x, self.features, 3, self.stride, name="conv1",
+                    dilation=self.dilation)
         out = _BN(name="bn1")(out)
         out = nn.relu(out)
-        out = _conv(out, self.features, 3, 1, name="conv2")
+        out = _conv(out, self.features, 3, 1, name="conv2",
+                    dilation=self.dilation)
         out = _BN(name="bn2")(out)
         if self.downsample:
             identity = nn.Conv(self.features, (1, 1),
@@ -71,13 +74,15 @@ class Bottleneck(nn.Module):
     features: int          # bottleneck width; output is 4x
     stride: int = 1
     downsample: bool = False
+    dilation: int = 1
 
     @nn.compact
     def __call__(self, x):
         identity = x
         out = nn.relu(_BN(name="bn1")(_conv(x, self.features, 1, 1, "conv1")))
         out = nn.relu(_BN(name="bn2")(
-            _conv(out, self.features, 3, self.stride, "conv2")))
+            _conv(out, self.features, 3, self.stride, "conv2",
+                  dilation=self.dilation)))
         out = _BN(name="bn3")(_conv(out, 4 * self.features, 1, 1, "conv3"))
         if self.downsample:
             identity = nn.Conv(4 * self.features, (1, 1),
@@ -95,6 +100,10 @@ class ResNetEncoder(nn.Module):
 
     num_layers: int = 18
     normalize: str = "monodepth2"
+    # 32 (torchvision default) or 16: the last stage trades its stride for
+    # dilation 2 in EVERY conv of the stage, matching smp's make_dilated
+    # (segmentation encoders at output stride 16; weights are unchanged).
+    output_stride: int = 32
 
     @nn.compact
     def __call__(self, x) -> List[jnp.ndarray]:
@@ -118,10 +127,14 @@ class ResNetEncoder(nn.Module):
         in_ch = 64
         for li, (w, n_blocks) in enumerate(zip(widths, blocks)):
             stride = 1 if li == 0 else 2
+            dilation = 1
+            if self.output_stride == 16 and li == 3:
+                stride, dilation = 1, 2
             for bi in range(n_blocks):
                 s = stride if bi == 0 else 1
-                need_down = bi == 0 and (s != 1 or in_ch != w * expansion)
+                need_down = bi == 0 and (stride != 1 or in_ch != w * expansion)
                 x = block_cls(features=w, stride=s, downsample=need_down,
+                              dilation=dilation,
                               name=f"layer{li + 1}_{bi}")(x)
                 in_ch = w * expansion
             feats.append(x)
