@@ -48,6 +48,7 @@ def build_models(cfg: SuPerConfig,
                  depth_checkpoint: Optional[str] = None,
                  encoder_checkpoint: Optional[str] = None,
                  seg_checkpoint: Optional[str] = None,
+                 flow_checkpoint: Optional[str] = None,
                  num_layers: int = 18,
                  rng_seed: int = 0) -> Models:
     """Instantiate the configured models; random init where no checkpoint."""
@@ -121,10 +122,21 @@ def build_models(cfg: SuPerConfig,
 
     flow_model = flow_params = None
     if cfg.losses.sf_corr:
-        from super_tpu.models.raft_flow import RAFTFlow
+        from super_tpu.models.raft_flow import (
+            RAFTFlow,
+            convert_torch_raft_flow,
+        )
 
         flow_model = RAFTFlow(iters=12)
-        flow_params = flow_model.init(key, dummy, dummy)
+        if flow_checkpoint:
+            # Original-RAFT layout (e.g. raft-things.pth); the reference
+            # instead pulls torchvision's pretrained raft_large
+            # (shared_functions.py:131-134), whose renamed module tree is
+            # not remapped here.
+            flow_params = convert_torch_raft_flow(
+                _load_torch_state(flow_checkpoint))
+        else:
+            flow_params = flow_model.init(key, dummy, dummy)
 
     return Models(depth_model, depth_params, seg_model, seg_params,
                   flow_model, flow_params)

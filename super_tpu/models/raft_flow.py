@@ -1,17 +1,29 @@
-"""RAFT optical flow (flax) -- 2D variant for the sf_corr loss.
+"""RAFT optical flow (flax) -- the 2D variant for the sf_corr loss.
 
-The reference uses torchvision's pretrained raft_small/raft_large
-(utils/shared_functions.py:6,131-134) to supply dense correspondences to
-the surfel-correspondence loss (deform_mesh.py:19-23,302-311).  This is a
-TPU-native RAFT: shared feature encoder, 2D all-pairs correlation pyramid
-(einsum on the MXU), ConvGRU refinement under lax.scan, convex upsampling.
+The reference supplies dense correspondences to the surfel-correspondence
+loss from a pretrained RAFT (utils/shared_functions.py:6,131-134;
+deform_mesh.py:19-23,302-311).  This is a TPU-native RAFT-large: shared
+feature encoder, 2D all-pairs correlation pyramid (einsum on the MXU),
+SepConvGRU refinement under ``lax.scan``, convex upsampling.
 
-Weights are trained/loaded separately (torchvision is not available in this
-image); the architecture and interface match what the corr loss needs:
-``flow = model.apply(params, img1, img2)`` -> (N, H, W, 2).
+The module tree mirrors the original RAFT checkpoint layout (fnet /
+batch-norm cnet / update_block {encoder, gru, flow_head, mask}), loaded by
+``convert_torch_raft_flow`` -- including RAFT's corr-window quirk where the
+x-offset varies along the *outer* window axis (its meshgrid(dy, dx) feeds
+dy into the sampler's x slot; the window is symmetric so only the channel
+order matters, and conv weights are keyed to it).  Output parity vs a torch
+build from the reference's own raft_core modules is tested in
+tests/test_flow_parity.py.  torchvision's re-implementation renames modules
+(feature_encoder/context_encoder/...); converting those checkpoints needs a
+key remap that is not attempted here.
+
+Interface: ``flow = model.apply(params, img1, img2)`` -> (N, H, W, 2),
+images in [0, 1].
 """
 
 from __future__ import annotations
+
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
@@ -19,8 +31,6 @@ import flax.linen as nn
 
 from super_tpu.models.raft_stereo import (
     BasicEncoder,
-    ConvGRU,
-    MultiBasicEncoder,
     convex_upsample,
 )
 
@@ -44,17 +54,21 @@ def build_corr_pyramid_2d(fmap1, fmap2, num_levels=CORR_LEVELS):
 
 def lookup_corr_2d(pyr, cx, cy, radius=CORR_RADIUS):
     """Bilinear window lookup around (cx, cy)/2^l; returns
-    (N, H, W, levels*(2r+1)^2)."""
+    (N, H, W, levels*(2r+1)^2).
+
+    Channel order matches RAFT's corr.py: within a level the x-offset is
+    the OUTER axis (RAFT builds its window with meshgrid(dy, dx) whose
+    first component lands in the sampler's x coordinate)."""
     outs = []
     for lvl, corr in enumerate(pyr):
         n, h, w, u, v = corr.shape
         x = cx / (2 ** lvl)
         y = cy / (2 ** lvl)
         flat = corr.reshape(n, h, w, u * v)
-        for dy in range(-radius, radius + 1):
-            for dx in range(-radius, radius + 1):
-                xq = x + dx
-                yq = y + dy
+        for ox_off in range(-radius, radius + 1):
+            for oy_off in range(-radius, radius + 1):
+                xq = x + ox_off
+                yq = y + oy_off
                 x0 = jnp.floor(xq)
                 y0 = jnp.floor(yq)
                 ax = xq - x0
@@ -74,13 +88,37 @@ def lookup_corr_2d(pyr, cx, cy, radius=CORR_RADIUS):
     return jnp.stack(outs, axis=-1)
 
 
+class SepConvGRU(nn.Module):
+    """RAFT-large's separable GRU: a 1x5 then a 5x1 GRU pass
+    (raft_core/update.py:34-63)."""
+
+    hidden: int = 128
+
+    @nn.compact
+    def __call__(self, h, x):
+        for tag, k, pad in (("1", (1, 5), ((0, 0), (2, 2))),
+                            ("2", (5, 1), ((2, 2), (0, 0)))):
+            hx = jnp.concatenate([h, x], axis=-1)
+            z = nn.sigmoid(nn.Conv(self.hidden, k, padding=pad,
+                                   name=f"convz{tag}")(hx))
+            r = nn.sigmoid(nn.Conv(self.hidden, k, padding=pad,
+                                   name=f"convr{tag}")(hx))
+            q = nn.tanh(nn.Conv(self.hidden, k, padding=pad,
+                                name=f"convq{tag}")(
+                jnp.concatenate([r * h, x], axis=-1)))
+            h = (1 - z) * h + z * q
+        return h
+
+
 class MotionEncoder2D(nn.Module):
+    """RAFT-large BasicMotionEncoder (324-ch corr window)."""
+
     @nn.compact
     def __call__(self, flow, corr):
-        cor = nn.relu(nn.Conv(96, (1, 1), name="convc1")(corr))
-        cor = nn.relu(nn.Conv(64, (3, 3), padding=1, name="convc2")(cor))
-        flo = nn.relu(nn.Conv(64, (7, 7), padding=3, name="convf1")(flow))
-        flo = nn.relu(nn.Conv(32, (3, 3), padding=1, name="convf2")(flo))
+        cor = nn.relu(nn.Conv(256, (1, 1), name="convc1")(corr))
+        cor = nn.relu(nn.Conv(192, (3, 3), padding=1, name="convc2")(cor))
+        flo = nn.relu(nn.Conv(128, (7, 7), padding=3, name="convf1")(flow))
+        flo = nn.relu(nn.Conv(64, (3, 3), padding=1, name="convf2")(flo))
         out = nn.relu(nn.Conv(126, (3, 3), padding=1, name="conv")(
             jnp.concatenate([cor, flo], axis=-1)))
         return jnp.concatenate([out, flow], axis=-1)
@@ -101,7 +139,7 @@ class RAFTFlow(nn.Module):
         fmap1, fmap2 = f[:b], f[b:]
         pyr = build_corr_pyramid_2d(fmap1, fmap2)
 
-        c = BasicEncoder(output_dim=256, norm_fn="none",
+        c = BasicEncoder(output_dim=256, norm_fn="batch",
                          downsample=self.downsample, name="cnet")(x1)
         net = nn.tanh(c[..., :128])
         inp = nn.relu(c[..., 128:])
@@ -111,8 +149,8 @@ class RAFTFlow(nn.Module):
                               (n, h, w))
         gy = jnp.broadcast_to(jnp.arange(h, dtype=jnp.float32)[None, :, None],
                               (n, h, w))
-        gru = ConvGRU(hidden=128, name="gru")
-        menc = MotionEncoder2D(name="motion")
+        gru = SepConvGRU(hidden=128, name="gru")
+        menc = MotionEncoder2D(name="encoder")
         head1 = nn.Conv(256, (3, 3), padding=1, name="flow_head_1")
         head2 = nn.Conv(2, (3, 3), padding=1, name="flow_head_2")
         mask1 = nn.Conv(256, (3, 3), padding=1, name="mask_1")
@@ -122,7 +160,9 @@ class RAFTFlow(nn.Module):
             corr = lookup_corr_2d(pyr, gx + fx, gy + fy)
             flow = jnp.stack([fx, fy], axis=-1)
             motion = menc(flow, corr)
-            net = gru(net, jnp.concatenate([motion, inp], axis=-1))
+            # BasicUpdateBlock concatenates [context, motion] (update.py of
+            # the original RAFT; the stereo variant pre-splits instead).
+            net = gru(net, jnp.concatenate([inp, motion], axis=-1))
             delta = head2(nn.relu(head1(net)))
             mask = 0.25 * mask2(nn.relu(mask1(net)))
             return net, fx + delta[..., 0], fy + delta[..., 1], mask
@@ -140,3 +180,71 @@ class RAFTFlow(nn.Module):
 
         flow = jnp.stack([fx, fy], axis=-1)
         return convex_upsample(flow, mask, 2 ** self.downsample)
+
+
+def convert_torch_raft_flow(state_dict: Dict[str, Any]) -> Dict[str, Any]:
+    """Original-RAFT checkpoint (princeton-vl layout, e.g. raft-things.pth)
+    -> RAFTFlow flax params.
+
+    fnet is instance-normed (no norm params); cnet carries batch-norm
+    running stats; update_block holds {encoder, gru (SepConvGRU),
+    flow_head, mask}.  'module.' prefixes (the released checkpoints are
+    DataParallel-saved) are stripped."""
+    import numpy as np
+
+    sd = {}
+    for k, v in state_dict.items():
+        if k.startswith("module."):
+            k = k[len("module."):]
+        sd[k] = np.asarray(v.detach().cpu().numpy()
+                           if hasattr(v, "detach") else v)
+
+    def conv(key):
+        out = {"kernel": jnp.asarray(sd[key + ".weight"].transpose(2, 3, 1, 0))}
+        if key + ".bias" in sd:
+            out["bias"] = jnp.asarray(sd[key + ".bias"])
+        return out
+
+    def bn(key):
+        return {
+            "scale": jnp.asarray(sd[key + ".weight"]),
+            "bias": jnp.asarray(sd[key + ".bias"]),
+            "mean": jnp.asarray(sd[key + ".running_mean"]),
+            "var": jnp.asarray(sd[key + ".running_var"]),
+        }
+
+    def encoder(prefix, with_bn):
+        enc = {"conv1": conv(prefix + ".conv1"),
+               "conv2": conv(prefix + ".conv2")}
+        if with_bn:
+            enc["norm1"] = bn(prefix + ".norm1")
+        for li in range(1, 4):
+            for bi in range(2):
+                t = f"{prefix}.layer{li}.{bi}"
+                entry = {"conv1": conv(t + ".conv1"),
+                         "conv2": conv(t + ".conv2")}
+                if with_bn:
+                    entry["norm1"] = bn(t + ".norm1")
+                    entry["norm2"] = bn(t + ".norm2")
+                if t + ".downsample.0.weight" in sd:
+                    entry["downsample"] = conv(t + ".downsample.0")
+                    if with_bn:
+                        entry["norm3"] = bn(t + ".norm3")
+                enc[f"layer{li}_{bi}"] = entry
+        return enc
+
+    params = {
+        "fnet": encoder("fnet", with_bn=False),
+        "cnet": encoder("cnet", with_bn=True),
+        "encoder": {name: conv(f"update_block.encoder.{name}")
+                    for name in ("convc1", "convc2", "convf1", "convf2",
+                                 "conv")},
+        "gru": {name: conv(f"update_block.gru.{name}")
+                for name in ("convz1", "convr1", "convq1",
+                             "convz2", "convr2", "convq2")},
+        "flow_head_1": conv("update_block.flow_head.conv1"),
+        "flow_head_2": conv("update_block.flow_head.conv2"),
+        "mask_1": conv("update_block.mask.0"),
+        "mask_2": conv("update_block.mask.2"),
+    }
+    return {"params": params}

@@ -87,7 +87,11 @@ class BasicEncoder(nn.Module):
         d = self.downsample
         x = nn.Conv(64, (7, 7), strides=(2 if d > 2 else 1,) * 2, padding=3,
                     name="conv1")(x)
-        x = nn.relu(_norm(x, self.norm_fn))
+        if self.norm_fn == "batch":
+            x = _BN(name="norm1")(x)
+        else:
+            x = _norm(x, self.norm_fn)
+        x = nn.relu(x)
         for i, (dim, s) in enumerate(
                 [(64, 1), (96, 2 if d > 1 else 1), (128, 2 if d > 0 else 1)]):
             x = ResidualBlock(dim, self.norm_fn, s, name=f"layer{i+1}_0")(x)
