@@ -61,6 +61,8 @@ def main(argv=None) -> int:
         num_classes=args.num_classes,
         hard_seg=args.hard_seg,
         load_seg=True,
+        depth_model=args.depth_model,
+        seg_model=args.seg_model,
         losses=LossConfig(
             sf_point_plane=False,
             sf_soft_seg_point_plane=not args.hard_seg,
@@ -70,6 +72,9 @@ def main(argv=None) -> int:
             mesh_face=args.mesh_face,
             sf_bn_morph=args.sf_bn_morph,
             render_loss=args.render_loss,
+            sf_corr=args.sf_corr,
+            sf_corr_weight=args.sf_corr_weight,
+            sf_corr_match_renderimg=args.sf_corr_match_renderimg,
         ),
         capacity=CapacityConfig(
             surfel_capacity=pow2_at_least(2 * args.height * args.width),
@@ -85,6 +90,9 @@ def main(argv=None) -> int:
         learning_rate=args.learning_rate,
         num_iterations=args.num_optimize_iterations))
 
+    from run_super import build_cli_models
+    models = build_cli_models(cfg, args)
+
     if args.synthetic or args.data_dir is None:
         from super_tpu.data.synthetic import default_intrinsics, generate
         intr = default_intrinsics(args.height, args.width)
@@ -93,7 +101,8 @@ def main(argv=None) -> int:
         pipe = SuPerPipeline(cfg, intr)
         metrics = pipe.run(seq.depths, seq.colors, gt_xy=seq.gt_xy,
                            gt_valid=seq.gt_valid, segs=seq.segs,
-                           seg_confs=seq.seg_confs, verbose=args.verbose)
+                           seg_confs=seq.seg_confs, models=models,
+                           verbose=args.verbose)
     else:
         from super_tpu.data.superv1 import load_sequence
         intr, loaded = load_sequence(cfg, args)
@@ -101,7 +110,7 @@ def main(argv=None) -> int:
         metrics = pipe.run(loaded.depths, loaded.colors,
                            gt_xy=loaded.gt_xy, gt_valid=loaded.gt_valid,
                            segs=loaded.segs, seg_confs=loaded.seg_confs,
-                           verbose=args.verbose)
+                           models=models, verbose=args.verbose)
 
     print(json.dumps(metrics, indent=2))
     if args.output_json:

@@ -56,7 +56,39 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
     p.add_argument("--output_json", default=None)
     p.add_argument("--verbose", action="store_true")
+    # In-the-loop perception (reference options.py model flags; factory.py)
+    p.add_argument("--depth_model", default=None,
+                   choices=["monodepth2_stereo", "raft_stereo"],
+                   help="infer depth instead of --load_depth")
+    p.add_argument("--pretrained_depth_checkpoint_dir", default=None)
+    p.add_argument("--pretrained_encoder_checkpoint_dir", default=None,
+                   help="monodepth2 encoder.pth (decoder via "
+                        "--pretrained_depth_checkpoint_dir)")
+    p.add_argument("--seg_model", default=None,
+                   choices=["deeplabv3plus", "unet", "unet++", "manet"])
+    p.add_argument("--pretrained_seg_checkpoint_dir", default=None)
+    # Optical-flow correspondence loss (autograd path; deform_mesh.py:294-311)
+    p.add_argument("--sf_corr", action="store_true")
+    p.add_argument("--sf_corr_weight", type=float, default=1e-3)
+    p.add_argument("--sf_corr_match_renderimg", action="store_true")
+    p.add_argument("--flow_checkpoint", default=None,
+                   help="torchvision raft_large state dict for sf_corr")
     return p
+
+
+def build_cli_models(cfg, args):
+    """factory.build_models from the CLI flags; None when no model is in
+    the loop (the reference's InitNets, shared_functions.py:60-134)."""
+    if not (cfg.depth_model or cfg.seg_model or cfg.losses.sf_corr):
+        return None
+    from super_tpu.factory import build_models
+    return build_models(
+        cfg,
+        depth_checkpoint=args.pretrained_depth_checkpoint_dir,
+        encoder_checkpoint=args.pretrained_encoder_checkpoint_dir,
+        seg_checkpoint=args.pretrained_seg_checkpoint_dir,
+        flow_checkpoint=args.flow_checkpoint,
+    )
 
 
 def main(argv=None) -> int:
@@ -95,10 +127,15 @@ def main(argv=None) -> int:
         th_dist=args.th_dist,
         th_cosine_ang=args.th_cosine_ang,
         th_time_steps=args.th_time_steps,
+        depth_model=args.depth_model,
+        seg_model=args.seg_model,
         losses=LossConfig(
             sf_point_plane=args.sf_point_plane,
             mesh_arap=args.mesh_arap,
             mesh_rot=args.mesh_rot,
+            sf_corr=args.sf_corr,
+            sf_corr_weight=args.sf_corr_weight,
+            sf_corr_match_renderimg=args.sf_corr_match_renderimg,
         ),
         capacity=CapacityConfig(
             surfel_capacity=surfel_cap,
@@ -115,22 +152,31 @@ def main(argv=None) -> int:
                          linear_solver="pcg", jtj_dtype="bf16")
     cfg = cfg.replace(solver=dataclasses.replace(cfg.solver, **solver_kw))
 
+    if cfg.losses.sf_corr and args.use_derived_gradient:
+        print("warning: sf_corr applies to the autograd (GraphFit) path "
+              "only; the LM path ignores it (as in the reference).",
+              file=sys.stderr)
+    models = build_cli_models(cfg, args)
+
     if args.synthetic or args.data_dir is None:
         from super_tpu.data.synthetic import default_intrinsics, generate
         intr = default_intrinsics(args.height, args.width)
         seq = generate(args.num_frames, args.height, args.width, intr=intr)
         pipe = SuPerPipeline(cfg, intr)
         gt3 = seq.gt_xy
-        metrics = pipe.run(seq.depths, seq.colors, gt_xy=gt3,
-                           gt_valid=seq.gt_valid, verbose=args.verbose)
+        depths = None if cfg.depth_model else seq.depths
+        metrics = pipe.run(depths, seq.colors, gt_xy=gt3,
+                           gt_valid=seq.gt_valid, models=models,
+                           verbose=args.verbose)
     else:
         from super_tpu.data.superv1 import load_gt, load_sequence
         intr, loaded = load_sequence(cfg, args)
         pipe = SuPerPipeline(cfg, intr)
-        metrics = pipe.run(loaded.depths, loaded.colors,
+        depths = None if cfg.depth_model else loaded.depths
+        metrics = pipe.run(depths, loaded.colors,
                            gt_xy=loaded.gt_xy, gt_valid=loaded.gt_valid,
                            segs=loaded.segs, seg_confs=loaded.seg_confs,
-                           verbose=args.verbose)
+                           models=models, verbose=args.verbose)
         if args.tracking_gt_file:
             # Co-report the original C++ SuPer baseline bundled in the GT
             # file, when present (nodes.py:780-789 behavior).

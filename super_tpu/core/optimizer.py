@@ -50,7 +50,7 @@ class AutogradContext(NamedTuple):
 
 def prepare_autograd(cfg: SuPerConfig, surfels: SurfelState,
                      graph: GraphState, frame: FrameData,
-                     flow=None) -> AutogradContext:
+                     flow=None, intr=None) -> AutogradContext:
     import dataclasses
 
     from super_tpu.core.losses import prepare_lm
@@ -63,10 +63,18 @@ def prepare_autograd(cfg: SuPerConfig, surfels: SurfelState,
     extras = None
     if losses.sf_bn_morph or losses.render_loss or losses.sf_corr:
         h, w = cfg.height, cfg.width
+        src_uv = None
+        if flow is not None:
+            # Per-frame flow: anchor the corr match at the source
+            # (pre-deformation) projections (semantic.corr_loss deviation 2).
+            from super_tpu.geometry.camera import project_points
+
+            v0, u0, _, _ = project_points(surfels.points, intr, h, w)
+            src_uv = jnp.stack([u0, v0])
         extras = build_semantic_extras(
             cfg, frame.seg.reshape(h, w),
             frame.seg_conf.reshape(-1, h, w),
-            frame.color_image, flow=flow)
+            frame.color_image, flow=flow, src_uv=src_uv)
     return AutogradContext(
         base=base,
         sf_seg=surfels.seg,
@@ -183,10 +191,15 @@ def face_autograd(graph: GraphState, deform):
 
 
 def autograd_total(cfg: SuPerConfig, ctx: AutogradContext,
-                   graph: GraphState, deform, intr: Intrinsics
-                   ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+                   graph: GraphState, deform, intr: Intrinsics,
+                   flow_fn=None) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Sum of enabled autograd losses (GraphFit.get_losses,
-    deform_mesh.py:25-196; render/corr/morph faces integrate separately)."""
+    deform_mesh.py:25-196; render/corr/morph faces integrate separately).
+
+    ``flow_fn``: optional (3, H, W) render -> (2, H, W) flow; when given
+    (sf_corr_match_renderimg, deform_mesh.py:294-305) the corr loss re-runs
+    optical flow on the current soft render each evaluation instead of the
+    per-frame flow in ``ctx.extras.flow``."""
     losses = cfg.losses
     parts = {}
     total = jnp.asarray(0.0, jnp.float32)
@@ -219,15 +232,21 @@ def autograd_total(cfg: SuPerConfig, ctx: AutogradContext,
             parts["bn_morph"] = losses.sf_bn_morph_weight * sem.bn_morph_loss(
                 cfg, ctx.extras, warped, ctx.sf_seg, ctx.base.sf_mask, intr)
             total = total + parts["bn_morph"]
-        if losses.render_loss:
+        need_render = losses.render_loss or (losses.sf_corr
+                                             and flow_fn is not None)
+        if need_render:
             rendered = render_soft(warped, ctx.sf_colors, ctx.base.sf_mask,
                                    intr, cfg.height, cfg.width)
+        if losses.render_loss:
             parts["render"] = losses.render_loss_weight * sem.render_loss(
                 cfg, ctx.extras, rendered)
             total = total + parts["render"]
         if losses.sf_corr:
+            extras = ctx.extras
+            if flow_fn is not None:
+                extras = extras._replace(flow=flow_fn(rendered))
             parts["corr"] = losses.sf_corr_weight * sem.corr_loss(
-                cfg, ctx.extras, warped, ctx.base.trg_points,
+                cfg, extras, warped, ctx.base.trg_points,
                 ctx.base.trg_norms, ctx.base.trg_index_map,
                 ctx.base.sf_mask, intr,
                 loss_type=losses.sf_corr_loss_type)
@@ -236,13 +255,37 @@ def autograd_total(cfg: SuPerConfig, ctx: AutogradContext,
 
 
 def graph_fit(cfg: SuPerConfig, surfels: SurfelState, graph: GraphState,
-              frame: FrameData, intr: Intrinsics):
+              frame: FrameData, intr: Intrinsics, models=None,
+              prev_color=None):
     """Run the autograd fit; returns (deform (J+1, 7), final loss).
 
     Parity: GraphFit.deform_superedg (deform_mesh.py:251-378): Niter steps
     of SGD(momentum 0.9)/Adam with the T_g gradient scaled by 1/J.
+
+    sf_corr flow plumbing (deform_mesh.py:294-311): with a flow model in
+    ``models``, the flow is inferred ONCE per frame from the previous
+    frame's color (``prev_color``, the reference's src.rgb) to the current
+    frame -- or, with ``sf_corr_match_renderimg``, re-inferred every
+    iteration from the current soft render.  Flow is stop-gradiented like
+    the reference's .detach() (deform_mesh.py:19-23).
     """
-    ctx = prepare_autograd(cfg, surfels, graph, frame)
+    losses = cfg.losses
+    flow0 = None
+    flow_fn = None
+    if (losses.sf_corr and models is not None
+            and getattr(models, "flow_model", None) is not None):
+        fm, fp = models.flow_model, models.flow_params
+
+        def infer(src_chw, trg_chw):
+            fl = fm.apply(fp, src_chw.transpose(1, 2, 0)[None],
+                          trg_chw.transpose(1, 2, 0)[None])[0]  # (H, W, 2)
+            return jax.lax.stop_gradient(fl.transpose(2, 0, 1))
+
+        if losses.sf_corr_match_renderimg:
+            flow_fn = lambda rendered: infer(rendered, frame.color_image)  # noqa: E731
+        elif prev_color is not None:
+            flow0 = infer(prev_color, frame.color_image)
+    ctx = prepare_autograd(cfg, surfels, graph, frame, flow=flow0, intr=intr)
     j_cap = graph.capacity
     deform0 = jnp.tile(jnp.array([1.0, 0, 0, 0, 0, 0, 0], jnp.float32)[None],
                        (j_cap + 1, 1))
@@ -253,7 +296,8 @@ def graph_fit(cfg: SuPerConfig, surfels: SurfelState, graph: GraphState,
         opt = optax.sgd(cfg.solver.learning_rate, momentum=0.9)
     opt_state0 = opt.init(deform0)
 
-    loss_fn = lambda d: autograd_total(cfg, ctx, graph, d, intr)[0]  # noqa: E731
+    loss_fn = lambda d: autograd_total(cfg, ctx, graph, d, intr,  # noqa: E731
+                                       flow_fn=flow_fn)[0]
     grad_fn = jax.value_and_grad(loss_fn)
 
     def body(_, carry):

@@ -42,10 +42,15 @@ class SemanticExtras(NamedTuple):
     edge_dt: jnp.ndarray          # (C, H, W) per-class boundary DT (pixels)
     color_image: jnp.ndarray      # (3, H, W)
     flow: Optional[jnp.ndarray]   # (2, H, W) optical flow (u, v) or None
+    # (2, Np) source (pre-deformation) projections anchoring the corr-loss
+    # flow match, or None to anchor at the current warped projection (the
+    # sf_corr_match_renderimg mode, where the flow tracks the render).
+    src_uv: Optional[jnp.ndarray] = None
 
 
 def build_semantic_extras(cfg: SuPerConfig, frame_seg, frame_seg_conf,
-                          color_image, flow=None) -> SemanticExtras:
+                          color_image, flow=None,
+                          src_uv=None) -> SemanticExtras:
     """Precompute the per-class boundary distance transforms (pixel metric,
     kernel-3 edges as in deform_mesh.py:146-152)."""
     c = cfg.num_classes
@@ -58,6 +63,7 @@ def build_semantic_extras(cfg: SuPerConfig, frame_seg, frame_seg_conf,
         edge_dt=jnp.stack(dts),
         color_image=color_image,
         flow=flow,
+        src_uv=src_uv,
     )
 
 
@@ -121,13 +127,42 @@ def corr_loss(cfg: SuPerConfig, extras: SemanticExtras, warped_points,
     Source surfels project to (u, v); the flow sampled there displaces the
     coordinates into the target frame; the target map is sampled at the
     displaced coordinates.
+
+    Deviations (documented, both fix degeneracies of the reference's
+    formulation rather than change its intent):
+
+    1. The target sampling coordinates (u2, v2) are stop-gradiented, so
+       each evaluation pulls the warped point toward a FIXED matched
+       target.  The reference backprops through the bilinear-interpolation
+       weights of the target sample (loss.py:9-70 keeps grads on v,u); on
+       locally planar geometry that target-chasing term exactly cancels
+       the data pull (d target/d point = I along the surface), leaving the
+       loss unable to correct the very lateral drift it exists to fix.
+
+    2. With a per-frame flow (inferred once from the previous frame's
+       color, deform_mesh.py:305-307) the match is anchored at the SOURCE
+       projection (``extras.src_uv``): the flow field describes where the
+       pre-deformation pixel content went, so re-sampling it at the
+       current warped projection (the reference's formulation) keeps
+       displacing the target as the points move — the fit overshoots the
+       true correspondence without bound.  Anchoring at the source gives a
+       single fixed match per frame, the loss's published intent.  In
+       sf_corr_match_renderimg mode (flow re-inferred from the current
+       render each iteration) ``src_uv`` is None and the current warped
+       projection is the correct anchor: the flow is relative to the
+       render, and vanishes at convergence.
     """
     if extras.flow is None:
         return jnp.asarray(0.0, warped_points.dtype)
     h, w = cfg.height, cfg.width
-    v, u, _, _ = project_points(warped_points, intr, h, w)
-    fl, _ = bilinear_sample_image(extras.flow, jax.lax.stop_gradient(v),
-                                  jax.lax.stop_gradient(u))  # (Np, 2)
+    if extras.src_uv is not None:
+        u = jax.lax.stop_gradient(extras.src_uv[0])
+        v = jax.lax.stop_gradient(extras.src_uv[1])
+    else:
+        v, u, _, _ = project_points(warped_points, intr, h, w)
+        v = jax.lax.stop_gradient(v)
+        u = jax.lax.stop_gradient(u)
+    fl, _ = bilinear_sample_image(extras.flow, v, u)  # (Np, 2)
     u2 = u + fl[:, 0]
     v2 = v + fl[:, 1]
     margin = 1

@@ -112,11 +112,16 @@ class StepOutputs(NamedTuple):
 
 
 def track_step(cfg: SuPerConfig, intr: Intrinsics, state: TrackerState,
-               frame: FrameData) -> Tuple[TrackerState, StepOutputs]:
+               frame: FrameData, models=None,
+               prev_color=None) -> Tuple[TrackerState, StepOutputs]:
     """One frame of tracking: solve warp -> apply -> fuse -> prune.
 
     Parity: SuPer.fusion + Surfels.fuseInputData + prune
     (super/super.py:66-83, nodes.py:270-627), LM path.
+
+    ``models``/``prev_color`` feed the sf_corr optical-flow plumbing of the
+    autograd path (optimizer.graph_fit); close ``models`` over the jit
+    (make_jit_step) -- it carries flax modules, not traced arrays.
     """
     zero_i = jnp.asarray(0, jnp.int32)
     if cfg.solver.use_derived_gradient:
@@ -131,7 +136,8 @@ def track_step(cfg: SuPerConfig, intr: Intrinsics, state: TrackerState,
         from super_tpu.core.optimizer import graph_fit
 
         deform, solve_cost = graph_fit(cfg, state.surfels, state.graph,
-                                       frame, intr)
+                                       frame, intr, models=models,
+                                       prev_color=prev_color)
         surfels, graph = apply_deformation(cfg, state.surfels, state.graph,
                                            deform[:-1], global_dq=deform[-1])
         damping = jnp.asarray(0.0, jnp.float32)
@@ -165,6 +171,13 @@ def track_step(cfg: SuPerConfig, intr: Intrinsics, state: TrackerState,
     return new_state, outs
 
 
-def make_jit_step(cfg: SuPerConfig):
-    """jit-compiled step closure (config static)."""
-    return jax.jit(functools.partial(track_step, cfg))
+def make_jit_step(cfg: SuPerConfig, models=None):
+    """jit-compiled step closure (config + models static).
+
+    With sf_corr enabled and no prev_color yet (frame 1), pass the frame's
+    own color -- zero flow, zero corr contribution, one compile."""
+    if models is None or not cfg.losses.sf_corr:
+        return jax.jit(functools.partial(track_step, cfg))
+    step = functools.partial(track_step, cfg, models=models)
+    return jax.jit(lambda intr, state, frame, prev_color: step(
+        intr, state, frame, prev_color=prev_color))

@@ -92,31 +92,19 @@ def build_models(cfg: SuPerConfig,
         seg_model = build_seg_model(cfg.seg_model, cfg.num_classes,
                                     num_layers)
         if seg_checkpoint:
+            # Full smp checkpoint (encoder + decoder + head), the layout
+            # the reference loads (seg/inference.py:102-128); every arch
+            # option has an exact converter (tests/test_seg_parity.py).
             sd = _load_torch_state(seg_checkpoint)
-            from super_tpu.models.segmentation import (
-                DeepLabV3Plus,
-                convert_torch_smp_deeplab,
-            )
+            from super_tpu.models import segmentation as seg_mod
 
-            if isinstance(seg_model, DeepLabV3Plus):
-                # Full smp checkpoint (encoder + decoder + head), the layout
-                # the reference loads (seg/inference.py:102-128).
-                seg_params = convert_torch_smp_deeplab(sd, num_layers)
-            else:
-                # U-Net-family: encoder.* follows torchvision naming; the
-                # smp decoder layout differs from ours, so only the encoder
-                # converts (non-strict, like load_checkpoints).
-                from super_tpu.models.resnet import convert_torch_resnet
-
-                params = seg_model.init(key, dummy)
-                try:
-                    enc = convert_torch_resnet(
-                        {k[len("encoder."):]: v for k, v in sd.items()
-                         if k.startswith("encoder.")}, num_layers)
-                    params["params"]["encoder"] = enc["params"]
-                except KeyError:
-                    pass
-                seg_params = params
+            converter = {
+                "unet": seg_mod.convert_torch_smp_unet,
+                "unet++": seg_mod.convert_torch_smp_unetplusplus,
+                "unetplusplus": seg_mod.convert_torch_smp_unetplusplus,
+                "manet": seg_mod.convert_torch_smp_manet,
+            }.get(cfg.seg_model, seg_mod.convert_torch_smp_deeplab)
+            seg_params = converter(sd, num_layers)
         else:
             seg_params = seg_model.init(key, dummy)
 

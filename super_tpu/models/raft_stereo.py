@@ -361,6 +361,38 @@ def depth_from_disparity(disp, fx=882.0850326, baseline=5.8513759749420302e-3,
     return (fx * baseline) / (-disp + (cx2 - cx1))
 
 
+class InputPadder:
+    """Edge-replicate pad images so H/W are divisible by ``divis_by``.
+
+    Parity: InputPadder (depth/raft_core/utils/utils.py:7-26).  Operates on
+    NHWC arrays (this package's image layout; the reference pads NCHW).
+    'sintel' mode splits the padding around both edges; otherwise rows pad
+    at the bottom only.  Pad amounts are static Python ints, so padded
+    shapes stay jit-constant.
+    """
+
+    def __init__(self, dims, mode: str = "sintel", divis_by: int = 8):
+        self.ht, self.wd = int(dims[-3]), int(dims[-2])
+        pad_ht = (((self.ht // divis_by) + 1) * divis_by - self.ht) % divis_by
+        pad_wd = (((self.wd // divis_by) + 1) * divis_by - self.wd) % divis_by
+        if mode == "sintel":
+            self._pad = (pad_wd // 2, pad_wd - pad_wd // 2,
+                         pad_ht // 2, pad_ht - pad_ht // 2)
+        else:
+            self._pad = (pad_wd // 2, pad_wd - pad_wd // 2, 0, pad_ht)
+
+    def pad(self, *inputs):
+        l, r, t, b = self._pad
+        out = [jnp.pad(x, ((0, 0), (t, b), (l, r), (0, 0)), mode="edge")
+               for x in inputs]
+        return out if len(out) > 1 else out[0]
+
+    def unpad(self, x):
+        l, r, t, b = self._pad
+        ht, wd = x.shape[-3], x.shape[-2]
+        return x[..., t:ht - b, l:wd - r, :]
+
+
 def convert_torch_raft_stereo(state_dict: Dict[str, Any]) -> Dict[str, Any]:
     """Reference RAFT-Stereo checkpoint -> RAFTStereo flax params.
 

@@ -40,6 +40,8 @@ class SuPerPipeline:
         self._assign = jax.jit(functools.partial(assign_track_points, cfg))
         self._record = jax.jit(record_track_coords)
         self.state: Optional[TrackerState] = None
+        self._step_flow = None       # sf_corr variant (jitted lazily)
+        self._prev_color = None      # (3, H, W) previous frame, src of flow
         self.track_results: Dict[int, np.ndarray] = {}
         self.errors: Dict[int, np.ndarray] = {}
         self.frame_times = []
@@ -99,11 +101,25 @@ class SuPerPipeline:
                     kw["seg"] = pred["seg"]
                     kw["seg_conf"] = pred["seg_conf"]
             frame = self._preprocess(depth_t, color, jnp.float32(t), **kw)
+            # sf_corr optical-flow plumbing: flow from the previous frame's
+            # color to this frame feeds the corr loss (deform_mesh.py:294-311,
+            # via optimizer.graph_fit).
+            sf_corr_flow = (models is not None and self.cfg.losses.sf_corr
+                            and models.flow_model is not None)
+            if sf_corr_flow and self._step_flow is None:
+                step = functools.partial(track_step, self.cfg, self.intr,
+                                         models=models)
+                self._step_flow = jax.jit(
+                    lambda st, fr, prev: step(st, fr, prev_color=prev))
             outs = None
             if self.state is None:
                 self.state = self._init(frame)
+            elif sf_corr_flow:
+                self.state, outs = self._step_flow(self.state, frame,
+                                                   self._prev_color)
             else:
                 self.state, outs = self._step(self.state, frame)
+            self._prev_color = frame.color_image
 
             if gt_xy is not None:
                 self._eval_frame(t, frame, gt_xy[t], gt_valid[t])

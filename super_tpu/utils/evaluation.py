@@ -68,3 +68,25 @@ def summarize(err_frames: Dict[int, np.ndarray],
         out["reproj_edge_mean"] = float(sub[subv].mean()) if subv.any() else float("nan")
         out["reproj_edge_std"] = float(sub[subv].std()) if subv.any() else float("nan")
     return out
+
+
+def compute_depth_errors(gt: np.ndarray, pred: np.ndarray) -> Dict[str, float]:
+    """Standard monocular-depth error metrics.
+
+    Parity: compute_depth_errors (depth/monodepth2/layers.py:250-267) --
+    abs_rel, sq_rel, rmse, rmse_log and the delta < 1.25^k accuracies, over
+    already-masked/aligned gt/pred arrays.
+    """
+    gt = np.asarray(gt, np.float64)
+    pred = np.asarray(pred, np.float64)
+    thresh = np.maximum(gt / pred, pred / gt)
+    diff = gt - pred
+    return {
+        "abs_rel": float(np.mean(np.abs(diff) / gt)),
+        "sq_rel": float(np.mean(diff ** 2 / gt)),
+        "rmse": float(np.sqrt(np.mean(diff ** 2))),
+        "rmse_log": float(np.sqrt(np.mean((np.log(gt) - np.log(pred)) ** 2))),
+        "a1": float(np.mean(thresh < 1.25)),
+        "a2": float(np.mean(thresh < 1.25 ** 2)),
+        "a3": float(np.mean(thresh < 1.25 ** 3)),
+    }

@@ -9,7 +9,13 @@ import pytest
 
 from helpers import tiny_config, tiny_scene
 
-from super_tpu.core.optimizer import autograd_total, graph_fit, prepare_autograd
+from super_tpu.core.optimizer import (
+    _warp_all,
+    autograd_total,
+    graph_fit,
+    prepare_autograd,
+)
+from super_tpu.core.preprocess import preprocess_frame
 from super_tpu.core.tracker import init_tracker
 from super_tpu.data.synthetic import default_intrinsics, generate
 from super_tpu.pipeline import SuPerPipeline
@@ -61,3 +67,106 @@ def test_autograd_pipeline_tracks(scene):
         np.linalg.norm(seq2.gt_xy[t] - seq2.gt_xy[0], axis=1).mean()
         for t in range(1, len(seq2.gt_xy))])
     assert m["reproj_mean"] < static_err, (m, static_err)
+
+
+class _ConstFlow:
+    """Oracle flow-model stub: every pixel flows by (du, dv)."""
+
+    def __init__(self, du, dv=0.0):
+        self.du, self.dv = du, dv
+
+    def apply(self, params, im1, im2):
+        n, h, w, _ = im1.shape
+        return jnp.broadcast_to(
+            jnp.array([self.du, self.dv], jnp.float32), (n, h, w, 2))
+
+
+def _lateral_scene(du_pix=2.0, h=48, w=64):
+    """Flat plane whose texture shifts laterally: geometry-only ICP cannot
+    observe the motion (aperture problem); flow correspondence can.
+
+    ``c1[:, u] = base[:, u + du]``: the content at frame-0 pixel u appears
+    at frame-1 pixel ``u - du``, so the f0->f1 optical flow is ``-du`` and
+    the tracked scene points move ``-du / fx`` in world x (at z=1)."""
+    cfg = tiny_config(h=h, w=w)
+    intr = default_intrinsics(h, w)
+    rng = np.random.RandomState(7)
+    base = rng.rand(h, w + 8, 3).astype(np.float32)
+    depth = np.full((h, w), 1.0, np.float32)
+    c0 = base[:, :w]
+    c1 = base[:, int(du_pix):w + int(du_pix)]
+    return cfg, intr, depth, c0, c1
+
+
+def test_sf_corr_recovers_lateral_motion():
+    """End-to-end sf_corr plumbing (VERDICT item 5): with an oracle flow the
+    autograd fit recovers lateral motion that is invisible to the
+    geometry-only objective, and the trajectory changes when sf_corr is on.
+    """
+    du = 2.0
+    cfg, intr, depth, c0, c1 = _lateral_scene(du_pix=du)
+    # SGD, not Adam: at the (noise-level) geometry-only optimum Adam
+    # normalizes the ~1e-4 float-noise gradient into full-lr drift; SGD
+    # steps proportionally to the gradient so the null direction stays put.
+    cfg = cfg.replace(solver=dataclasses.replace(
+        cfg.solver, use_derived_gradient=False, optimizer="SGD",
+        learning_rate=2e-4, num_iterations=40))
+    cfg = cfg.replace(losses=dataclasses.replace(
+        cfg.losses, sf_corr=True, sf_corr_weight=1.0,
+        sf_corr_loss_type="point-point"))
+
+    f0 = preprocess_frame(cfg, intr, jnp.asarray(depth),
+                          jnp.asarray(c0.transpose(2, 0, 1)), 0.0)
+    f1 = preprocess_frame(cfg, intr, jnp.asarray(depth),
+                          jnp.asarray(c1.transpose(2, 0, 1)), 1.0)
+    st = init_tracker(cfg, f0)
+
+    from super_tpu.factory import Models
+
+    models = Models(None, None, None, None, _ConstFlow(-du), None)
+
+    def fit(use_models):
+        m = models if use_models else None
+        deform, _ = jax.jit(lambda s, f: graph_fit(
+            cfg, s.surfels, s.graph, f, intr, models=m,
+            prev_color=f0.color_image))(st, f1)
+        ctx = prepare_autograd(cfg, st.surfels, st.graph, f1)
+        warped = _warp_all(cfg, ctx.base, deform)
+        mask = np.asarray(ctx.base.sf_mask)
+        dx = np.asarray(warped[0] - st.surfels.points[0])[mask]
+        return np.asarray(deform), float(np.mean(dx))
+
+    deform_corr, dx_corr = fit(True)
+    deform_icp, dx_icp = fit(False)
+
+    # World-space lateral displacement of a -du-pixel shift at z=1.
+    dx_gt = -du / float(intr.fx)
+    assert abs(dx_icp) < 0.25 * abs(dx_gt), (dx_icp, dx_gt)  # unobservable
+    assert abs(dx_corr - dx_gt) < 0.5 * abs(dx_gt), (dx_corr, dx_gt)
+    assert not np.allclose(deform_corr, deform_icp)      # trajectory changed
+
+
+def test_sf_corr_match_renderimg_runs():
+    """sf_corr_match_renderimg re-infers flow from the soft render each
+    iteration; the fit must run and the corr part must be live."""
+    du = 2.0
+    cfg, intr, depth, c0, c1 = _lateral_scene(du_pix=du)
+    cfg = cfg.replace(solver=dataclasses.replace(
+        cfg.solver, use_derived_gradient=False, optimizer="Adam",
+        learning_rate=2e-3, num_iterations=5))
+    cfg = cfg.replace(losses=dataclasses.replace(
+        cfg.losses, sf_corr=True, sf_corr_weight=1.0,
+        sf_corr_match_renderimg=True, sf_corr_loss_type="point-point"))
+    f0 = preprocess_frame(cfg, intr, jnp.asarray(depth),
+                          jnp.asarray(c0.transpose(2, 0, 1)), 0.0)
+    f1 = preprocess_frame(cfg, intr, jnp.asarray(depth),
+                          jnp.asarray(c1.transpose(2, 0, 1)), 1.0)
+    st = init_tracker(cfg, f0)
+
+    from super_tpu.factory import Models
+
+    models = Models(None, None, None, None, _ConstFlow(-du), None)
+    deform, loss = jax.jit(lambda s, f: graph_fit(
+        cfg, s.surfels, s.graph, f, intr, models=models))(st, f1)
+    assert np.isfinite(np.asarray(deform)).all()
+    assert np.isfinite(float(loss))

@@ -222,12 +222,65 @@ def test_stereo_ssim_confidence_prefers_consistent_depth():
 
 
 def test_unet_seg_runs(key):
+    # H/W divisible by 32 (smp's own constraint for the 5-level decoder).
     from super_tpu.models.segmentation import UNet, build_seg_model
 
-    img = jax.random.uniform(key, (1, 48, 64, 3))
+    img = jax.random.uniform(key, (1, 64, 96, 3))
     m = build_seg_model("unet", num_classes=2)
     assert isinstance(m, UNet)
     params = m.init(key, img)
     logits = m.apply(params, img)
-    assert logits.shape == (1, 2, 48, 64)
+    assert logits.shape == (1, 2, 64, 96)
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_input_padder_matches_torch_replicate():
+    """InputPadder parity (raft_core/utils/utils.py:7-26): replicate pad to
+    divisibility-8, both modes, and unpad inverts exactly."""
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    from super_tpu.models.raft_stereo import InputPadder
+
+    rng = np.random.RandomState(0)
+    for h, w, mode in [(47, 61, "sintel"), (47, 61, "other"),
+                       (48, 64, "sintel")]:
+        x = rng.rand(1, h, w, 3).astype(np.float32)
+        p = InputPadder((1, h, w, 3), mode=mode)
+        ours = np.asarray(p.pad(jnp.asarray(x)))
+        pad_ht = (((h // 8) + 1) * 8 - h) % 8
+        pad_wd = (((w // 8) + 1) * 8 - w) % 8
+        tp = ([pad_wd // 2, pad_wd - pad_wd // 2,
+               pad_ht // 2, pad_ht - pad_ht // 2] if mode == "sintel"
+              else [pad_wd // 2, pad_wd - pad_wd // 2, 0, pad_ht])
+        ref = F.pad(torch.tensor(x.transpose(0, 3, 1, 2)), tp,
+                    mode="replicate").numpy().transpose(0, 2, 3, 1)
+        assert ours.shape == ref.shape
+        np.testing.assert_allclose(ours, ref)
+        np.testing.assert_allclose(np.asarray(p.unpad(jnp.asarray(ours))), x)
+
+
+def test_compute_depth_errors_matches_torch():
+    """compute_depth_errors parity (depth/monodepth2/layers.py:250-267)."""
+    torch = pytest.importorskip("torch")
+
+    from super_tpu.utils.evaluation import compute_depth_errors
+
+    rng = np.random.RandomState(0)
+    gt = rng.rand(200) * 5 + 0.1
+    pred = np.abs(gt * (1 + 0.1 * rng.randn(200))) + 1e-3
+    m = compute_depth_errors(gt, pred)
+    g, p = torch.tensor(gt), torch.tensor(pred)
+    thresh = torch.max(g / p, p / g)
+    ref = {
+        "abs_rel": torch.mean(torch.abs(g - p) / g),
+        "sq_rel": torch.mean((g - p) ** 2 / g),
+        "rmse": torch.sqrt(((g - p) ** 2).mean()),
+        "rmse_log": torch.sqrt(
+            ((torch.log(g) - torch.log(p)) ** 2).mean()),
+        "a1": (thresh < 1.25).double().mean(),
+        "a2": (thresh < 1.25 ** 2).double().mean(),
+        "a3": (thresh < 1.25 ** 3).double().mean(),
+    }
+    for k in m:
+        assert abs(m[k] - float(ref[k])) < 1e-9, (k, m[k], float(ref[k]))
