@@ -27,10 +27,13 @@ def initialize(coordinator_address: Optional[str] = None,
     addr = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
     if addr is None:
         return
-    jax.distributed.initialize(
-        coordinator_address=addr,
-        num_processes=num_processes or int(os.environ["JAX_NUM_PROCESSES"]),
-        process_id=process_id or int(os.environ["JAX_PROCESS_ID"]))
+    if num_processes is None:
+        num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+    if process_id is None:  # NB: not `or` -- process 0 is falsy
+        process_id = int(os.environ["JAX_PROCESS_ID"])
+    jax.distributed.initialize(coordinator_address=addr,
+                               num_processes=num_processes,
+                               process_id=process_id)
 
 
 def shard_stream_batch(mesh, local_batch):
