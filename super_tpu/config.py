@@ -184,7 +184,7 @@ class SuPerConfig:
     # Projection-map construction (core/fusion.py:build_projection_maps):
     # "scatter" peels per-pixel confidence winners with 2L element-bound
     # scatters; "sort" is the two-pass stable argsort.  Identical results.
-    proj_map_mode: str = "scatter"
+    proj_map_mode: str = "sort"
 
     losses: LossConfig = dataclasses.field(default_factory=LossConfig)
     solver: SolverConfig = dataclasses.field(default_factory=SolverConfig)

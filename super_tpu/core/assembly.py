@@ -63,10 +63,12 @@ def build_tuple_layout(knn_idx, active, node_cap: int, *, tuple_cap: int,
     k1 = jnp.where(active, k1, big)  # inactive surfels sort last
     k2 = jnp.where(active, k2, big)
 
-    p2 = jnp.argsort(k2, stable=True)
-    p1 = jnp.argsort(k1[p2], stable=True)
-    perm = p2[p1]                       # (N,) sorted surfel order
-    k1s, k2s = k1[perm], k2[perm]
+    # One unstable 3-key sort == the two chained stable argsorts: the slot
+    # id as final key makes the order total, and XLA's non-stable variadic
+    # sort is ~20x cheaper than its stable one on TPU.
+    k1s, k2s, perm = jax.lax.sort(
+        (k1, k2, jnp.arange(n, dtype=jnp.int32)), num_keys=3,
+        is_stable=False)
 
     new_tuple = jnp.concatenate([
         jnp.ones((1,), dtype=bool),

@@ -54,12 +54,14 @@ def build_projection_maps(cfg: SuPerConfig, intr: Intrinsics,
     order); surfels beyond ``proj_map_depth`` layers are deleted
     (nodes.py:402-403).
 
-    Implementation: ``proj_map_mode="scatter"`` (default) peels off the
-    top-confidence surfel per pixel once per layer with a scatter-max over
-    confidences plus a scatter-min over slot ids for exact tie-breaks --
-    2L element-bound scatters (~N elements each) instead of two full
-    argsorts over the surfel capacity (the sorts were ~70 ms/frame at 480p,
-    ~40% of fusion).  ``"sort"`` keeps the two-pass stable argsort.
+    Implementation: ``proj_map_mode="sort"`` (default) runs ONE non-stable
+    3-key lax.sort (pixel, -conf, slot id) -- the id key makes the order
+    total, so it equals the chained stable argsorts exactly, and on TPU the
+    non-stable variadic sort is ~20x cheaper than stable argsorts (8 ms vs
+    80 ms each at N=393k); layers fall out of a run-length cummax and one
+    combiner-free set-scatter.  ``"scatter"`` peels the top-confidence
+    surfel per pixel once per layer with scatter-max/min (combiner scatters
+    are ~80 ms each on TPU -- kept for the exact-equality cross-check).
     Both produce identical maps (test_fusion_proj_map_modes_agree).
 
     Returns:
@@ -98,15 +100,19 @@ def build_projection_maps(cfg: SuPerConfig, intr: Intrinsics,
 
     key_coords = jnp.where(valid, coords, p)  # invalid -> sentinel bucket
 
-    # Stable sort by confidence desc, then stable sort by pixel: within a
-    # pixel, higher confidence comes first (nodes.py:367-371).
-    order_conf = jnp.argsort(-surfels.confs, stable=True)
-    order_pix = jnp.argsort(key_coords[order_conf], stable=True)
-    order = order_conf[order_pix]
-    sorted_coords = key_coords[order]
+    # Sort by (pixel, conf desc, slot id): within a pixel, higher
+    # confidence comes first (nodes.py:367-371), ties by slot id -- the
+    # exact order of the stable two-pass argsort, in one non-stable sort.
+    ids = jnp.arange(n, dtype=jnp.int32)
+    sorted_coords, _, order = jax.lax.sort(
+        (key_coords, -surfels.confs, ids), num_keys=3, is_stable=False)
 
-    first_idx = jnp.searchsorted(sorted_coords, sorted_coords, side="left")
-    layer = jnp.arange(n) - first_idx
+    # Layer = position within the pixel's run.
+    iota = jnp.arange(n, dtype=jnp.int32)
+    new_run = jnp.concatenate([
+        jnp.ones((1,), bool), sorted_coords[1:] != sorted_coords[:-1]])
+    first_idx = jax.lax.cummax(jnp.where(new_run, iota, 0))
+    layer = iota - first_idx
 
     in_map = (sorted_coords < p) & (layer < depth_l)
     flat_idx = jnp.where(in_map, layer * p + sorted_coords, depth_l * p)
@@ -119,23 +125,43 @@ def build_projection_maps(cfg: SuPerConfig, intr: Intrinsics,
     return proj_id, overflow
 
 
-def _pack_bank(points, norms, colors, radii, confs, seg, seg_conf):
+def _pack_bank(points, norms, colors, radii, confs, seg, seg_conf,
+               time_stamp=None):
     """Pack the merge-relevant fields into one (F, N) bank so a merge stage
-    costs ONE minor-axis gather instead of ~11 (4x on TPU)."""
+    costs ONE minor-axis gather (and one 2D scatter) instead of ~12 each."""
+    if time_stamp is None:
+        time_stamp = jnp.zeros_like(radii)
     return jnp.concatenate([
         points, norms, colors,
         radii[None], confs[None], seg.astype(points.dtype)[None],
-        seg_conf,
+        time_stamp[None], seg_conf,
     ], axis=0)
 
 
 def _unpack_bank(bank):
-    c = bank.shape[0] - 12
+    c = bank.shape[0] - 13
     return dict(
         points=bank[0:3], norms=bank[3:6], colors=bank[6:9],
         radii=bank[9], confs=bank[10],
-        seg=bank[11].astype(jnp.int32), seg_conf=bank[12:12 + c],
+        seg=bank[11].astype(jnp.int32), time_stamp=bank[12],
+        seg_conf=bank[13:13 + c],
     )
+
+
+def _pack_vals(vals: Dict) -> jnp.ndarray:
+    """Merge-values dict -> bank rows (same layout as _pack_bank)."""
+    return _pack_bank(vals["points"], vals["norms"], vals["colors"],
+                      vals["radii"], vals["confs"], vals["seg"],
+                      vals["seg_conf"], vals["time_stamp"])
+
+
+def _bank_merge(bank, sl, do, vals: Dict) -> jnp.ndarray:
+    """Write merged values into bank columns ``sl`` where ``do``: ONE 2D
+    drop-scatter (columns pushed out of range where ~do) instead of ~12
+    per-row combiner-free scatters -- scatters pay per index list, not per
+    row, on TPU."""
+    sl_eff = jnp.where(do, sl, bank.shape[1]).astype(jnp.int32)
+    return bank.at[:, sl_eff].set(_pack_vals(vals), mode="drop")
 
 
 def _gathered(bank, sl):
@@ -184,24 +210,10 @@ def _merged_values(cfg: SuPerConfig, a: Dict, b: Dict, time,
         sc = sc / jnp.maximum(jnp.sum(sc, axis=0, keepdims=True), 1e-20)
         out["seg_conf"] = sc
         out["seg"] = jnp.argmax(sc, axis=0).astype(jnp.int32)
+    else:
+        out["seg_conf"] = a["seg_conf"]  # unchanged outside semantic mode
+        out["seg"] = a["seg"]
     return out
-
-
-def _scatter_merge(s: SurfelState, sl, do, vals) -> SurfelState:
-    """Apply merged values at slots ``sl`` where ``do`` (slots unique)."""
-    upd = {}
-    for name, new in vals.items():
-        cur = getattr(s, name)
-        if cur.ndim == 2:  # feature-major (F, N)
-            rows = []
-            for f in range(cur.shape[0]):
-                v = jnp.where(do, new[f], cur[f][sl])
-                rows.append(cur[f].at[sl].set(v, mode="drop"))
-            upd[name] = jnp.stack(rows)
-        else:
-            v = jnp.where(do, new, cur[sl])
-            upd[name] = cur.at[sl].set(v, mode="drop")
-    return s._replace(**upd)
 
 
 class FusionDiag(NamedTuple):
@@ -232,10 +244,12 @@ def fuse_frame(cfg: SuPerConfig, intr: Intrinsics, surfels: SurfelState,
     frame_f = _frame_fields(frame)
 
     # --- stage 2: merge candidates into layer surfels ---------------------
-    def bank_of(s):
-        return _pack_bank(s.points, s.norms, s.colors, s.radii, s.confs,
-                          s.seg, s.seg_conf)
-
+    # The surfel fields live in ONE (F, N) bank across stages 2-3: every
+    # merge is one minor-axis gather + one 2D drop-scatter instead of ~12
+    # per-field ops (scatters pay per index list on TPU).
+    bank = _pack_bank(surfels.points, surfels.norms, surfels.colors,
+                      surfels.radii, surfels.confs, surfels.seg,
+                      surfels.seg_conf, time_stamp=surfels.time_stamp)
     fbank = _pack_bank(frame.points, frame.norms, frame.colors, frame.radii,
                        frame.confs, frame.seg, frame.seg_conf)
     depth_l = cfg.capacity.proj_map_depth
@@ -261,24 +275,24 @@ def fuse_frame(cfg: SuPerConfig, intr: Intrinsics, surfels: SurfelState,
             if i == 0:
                 sl = jnp.clip(proj_id[0], 0, surfels.capacity - 1)
                 try_merge = cand_left & layer_occupied[0]
-                sview = _gathered(bank_of(surfels), sl)
+                sview = _gathered(bank, sl)
                 gate = _merge_gate(cfg, sview, frame_f)
                 do = try_merge & gate
                 vals = _merged_values(cfg, sview, frame_f, time,
                                       triple_new_color=True)
-                surfels = _scatter_merge(surfels, sl, do, vals)
+                bank = _bank_merge(bank, sl, do, vals)
                 cand_left = cand_left & ~do
             else:
                 pix, cvalid = compact_pix[i - 1]
                 sl = jnp.clip(proj_id[i][pix], 0, surfels.capacity - 1)
                 try_merge = cand_left[pix] & cvalid
-                sview = _gathered(bank_of(surfels), sl)
+                sview = _gathered(bank, sl)
                 fview = _unpack_bank(gather_rows(fbank, pix))
                 gate = _merge_gate(cfg, sview, fview)
                 do = try_merge & gate
                 vals = _merged_values(cfg, sview, fview, time,
                                       triple_new_color=True)
-                surfels = _scatter_merge(surfels, sl, do, vals)
+                bank = _bank_merge(bank, sl, do, vals)
                 cand_left = cand_left.at[pix].set(
                     jnp.where(do, False, cand_left[pix]), mode="drop")
         add_mask = add_mask | cand_left
@@ -298,13 +312,12 @@ def fuse_frame(cfg: SuPerConfig, intr: Intrinsics, surfels: SurfelState,
                 sl_i = jnp.clip(proj_id[i][pix], 0, surfels.capacity - 1)
                 sl_j = jnp.clip(proj_id[j][pix], 0, surfels.capacity - 1)
                 both = cvalid & alive_layer[i][pix] & alive_layer[j][pix]
-                bank = bank_of(surfels)
                 vi = _gathered(bank, sl_i)
                 vj = _gathered(bank, sl_j)
                 do = both & _merge_gate(cfg, vi, vj)
                 vals = _merged_values(cfg, vi, vj, time,
                                       triple_new_color=False)
-                surfels = _scatter_merge(surfels, sl_i, do, vals)
+                bank = _bank_merge(bank, sl_i, do, vals)
                 # Delete j, remap tracked ids j -> i.
                 active = active.at[sl_j].set(
                     jnp.where(do, False, active[sl_j]), mode="drop")
@@ -314,6 +327,14 @@ def fuse_frame(cfg: SuPerConfig, intr: Intrinsics, surfels: SurfelState,
                 alive_layer = alive_layer.at[j, pix].set(
                     jnp.where(do, False, alive_layer[j][pix]), mode="drop")
         surfels = surfels._replace(active=active)
+
+    # Unpack the merged bank back into the state once.
+    merged = _unpack_bank(bank)
+    surfels = surfels._replace(
+        points=merged["points"], norms=merged["norms"],
+        colors=merged["colors"], radii=merged["radii"],
+        confs=merged["confs"], seg=merged["seg"],
+        seg_conf=merged["seg_conf"], time_stamp=merged["time_stamp"])
 
     # --- stage 3.5: refresh anchor weights (nodes.py:466-484) -------------
     surfels = recompute_surfel_weights(cfg, surfels, graph)
