@@ -29,6 +29,9 @@ def main():
     ap.add_argument("--association", default="per_frame")
     ap.add_argument("--stages", default="prepare,lm_deferred,lm_classic,"
                     "proj_sort,proj_scatter,fuse,step")
+    ap.add_argument("--amortize", action="store_true",
+                    help="time each stage inside one compiled fori_loop "
+                         "(amortizes the tunnel dispatch floor entirely)")
     args = ap.parse_args()
 
     import jax
@@ -44,7 +47,7 @@ def main():
     from super_tpu.core.preprocess import preprocess_frame
     from super_tpu.core.tracker import init_tracker, track_step
     from super_tpu.data.synthetic import default_intrinsics, generate
-    from super_tpu.utils.profiling import chain_time
+    from super_tpu.utils.profiling import chain_time, loop_time
 
     h, w = args.height, args.width
     anchors, _, _ = grid_layout(h, w, args.mesh_step_size)
@@ -92,6 +95,8 @@ def main():
         state0, probe=lambda c: jnp.sum(c.sf_diff[:, :8]))
     ctx = jax.jit(lambda s: prepare_lm(cfg, s.surfels, s.graph,
                                        frames[1]))(state0)
+    from super_tpu.geometry.quaternion import IDENTITY_DQ as _IDQ
+    beta_t0 = jnp.tile(_IDQ[None], (cfg.capacity.node_capacity, 1))
     for sched in ("deferred", "classic"):
         c2 = sched_cfg(lm_schedule=sched)
         reg(f"lm_{sched}", jax.jit(lambda c, _c2=c2: lm_solve(_c2, c, intr)),
@@ -104,6 +109,14 @@ def main():
     reg("lm_defer1",
         jax.jit(lambda c: lm_solve(sched_cfg(num_iterations=1), c, intr)),
         ctx, probe=lambda r: r.cost)
+    from super_tpu.core.losses import associate
+    reg("assoc_id",
+        jax.jit(lambda c: associate(cfg, c, beta_t0 * 1.0, intr,
+                                    identity=True)),
+        ctx, probe=lambda a: jnp.sum(a.o[:, :8]))
+    reg("assoc_gen",
+        jax.jit(lambda c: associate(cfg, c, beta_t0 * 1.0, intr)),
+        ctx, probe=lambda a: jnp.sum(a.o[:, :8]))
     reg("lm_pallas",
         jax.jit(lambda c: lm_solve(sched_cfg(assembly_backend="pallas"),
                                    c, intr)),
@@ -149,7 +162,29 @@ def main():
             continue
         fn, fargs, probe = stages[name]
         t0 = time.perf_counter()
-        dt = chain_time(fn, *fargs, probe=probe, reps=args.reps)
+        if args.amortize:
+            if probe is None:
+                probe = lambda o: jnp.ravel(jax.tree.leaves(o)[0])[0]
+
+            def inject(tree, d):
+                leaves, treedef = jax.tree.flatten(tree)
+                done = False
+                outl = []
+                for a in leaves:
+                    if not done and hasattr(a, "dtype") and \
+                            jnp.issubdtype(a.dtype, jnp.floating):
+                        a = a + d.astype(a.dtype) * 0
+                        done = True
+                    outl.append(a)
+                return jax.tree.unflatten(treedef, outl)
+
+            def make_fn(acc, _fn=fn, _fargs=fargs, _probe=probe):
+                new_args = [inject(a, acc) for a in _fargs]
+                return _probe(_fn(*new_args)).astype(jnp.float32)
+
+            dt = loop_time(make_fn, jnp.float32(0.0), n_iter=args.reps) / 1e3
+        else:
+            dt = chain_time(fn, *fargs, probe=probe, reps=args.reps)
         out[name] = round(dt * 1e3, 2)
         print(f"{name}: {dt*1e3:.1f} ms  (total incl. compile "
               f"{time.perf_counter()-t0:.0f} s)", flush=True)

@@ -82,6 +82,21 @@ class SolverConfig:
     assembly_mode: str = "tuple"
     assembly_tuple_cap: int = 4096   # max distinct anchor tuples per frame
     assembly_pad_group: int = 32     # tuple runs padded to multiples of this
+    # Level-2 reduction (per-G-block partial Grams -> per-tuple Grams):
+    # "matmul" rides the MXU via a one-hot segment matmul (HIGHEST
+    # precision, f32-faithful); "scatter" is the sorted .at[].add (kept for
+    # cross-checks; ~1.5x slower on TPU).
+    assembly_combine: str = "matmul"
+    # Tuple->dense expansion: "pairs" gathers the symmetric half of the
+    # 7x7 blocks in node-pair-sorted order (per-frame layout), one-hot
+    # matmuls duplicates together, windowed-set-scatters the distinct
+    # blocks and symmetrizes -- ~4x cheaper per LM iteration than
+    # "scatter" (the 16-block conflict scatter + block->dense transpose).
+    assembly_expand: str = "pairs"
+    # Max distinct (unordered) node pairs across anchor tuples; overflow
+    # pairs lose their JTJ blocks (surfaced via StepOutputs diagnostics).
+    # ~2.4k distinct at the default 480p workload.
+    assembly_pair_cap: int = 4096
     # Gram-reduction backend for the tuple assembly: "xla" (batched einsum +
     # sorted scatter) or "pallas" (fused sequential-accumulation kernel,
     # super_tpu/pallas_kernels/gram.py).  Identical results; at pad_group=32

@@ -21,7 +21,7 @@ with zeroed contributions.
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -37,14 +37,29 @@ class TupleLayout(NamedTuple):
     overflow_count: jnp.ndarray  # () int32 active surfels dropped into the
     #   sink tuple (tuple_cap exceeded) -- their residuals are lost, so a
     #   nonzero count means assembly_tuple_cap is undersized for this frame.
+    # --- pair expansion layout (expand="pairs"; see build_pair_layout) ---
+    pair_rank: Optional[jnp.ndarray] = None   # (16T,) distinct-pair slot of
+    #   each source row of the per-tuple block buffer (only anchor pairs
+    #   a <= b are mapped -- the symmetric half; the rest carry scale 0)
+    pair_scale: Optional[jnp.ndarray] = None  # (16T,) 1.0 for mapped rows,
+    #   0.5 on diagonal node pairs, 0.0 for unmapped/overflow rows
+    pair_dest: Optional[jnp.ndarray] = None   # (P, 2) [7 n1, 7 n2] starts,
+    #   out-of-range for the overflow sink (the set-scatter drops them)
+    pair_overflow: Optional[jnp.ndarray] = None  # () int32 distinct pairs
+    #   beyond pair_cap (their JTJ blocks are LOST -- must stay 0)
 
     @property
     def padded_size(self):
         return self.src_of.shape[0]
 
+    def pad_group_of(self, np_cap: int) -> int:
+        """G, recovered from the block count (shape-static)."""
+        return np_cap // self.block_tuple.shape[0]
+
 
 def build_tuple_layout(knn_idx, active, node_cap: int, *, tuple_cap: int,
-                       pad_group: int, chunk: int = 32768) -> TupleLayout:
+                       pad_group: int, chunk: int = 32768,
+                       pair_cap: int = 0) -> TupleLayout:
     """Sort surfels by anchor tuple and build the G-aligned padded layout.
 
     Args:
@@ -117,9 +132,15 @@ def build_tuple_layout(knn_idx, active, node_cap: int, *, tuple_cap: int,
             tid_sorted].set(knn_idx[kk][perm], mode="drop"))
     tuple_nodes = jnp.stack(cols, axis=1)
 
+    pair_fields = (None,) * 4
+    if pair_cap > 0:
+        pair_fields = build_pair_layout(tuple_nodes, node_cap,
+                                        pair_cap=pair_cap)
     return TupleLayout(src_of=src_of, slot_valid=slot_valid,
                        block_tuple=block_tuple, tuple_nodes=tuple_nodes,
-                       overflow_count=overflow_count)
+                       overflow_count=overflow_count,
+                       pair_rank=pair_fields[0], pair_scale=pair_fields[1],
+                       pair_dest=pair_fields[2], pair_overflow=pair_fields[3])
 
 
 def block_reduce(layout: TupleLayout, h, r, *, pad_group: int):
@@ -144,6 +165,115 @@ def block_reduce(layout: TupleLayout, h, r, *, pad_group: int):
         layout.block_tuple].add(partial)
     acc = acc.reshape(t_cap, d, d + 1)
     return acc[..., :d], acc[..., d]
+
+
+def build_pair_layout(tuple_nodes, node_cap: int, *, pair_cap: int):
+    """Node-pair expansion layout: the per-frame sort that lets the
+    per-iteration tuple->dense JTJ expansion run as one one-hot matmul and
+    one unique set-scatter instead of a 16 T-block conflict scatter
+    (~2-3x cheaper per iteration on TPU).
+
+    Exploits JTJ symmetry: only anchor pairs (a, b) with a <= b are mapped
+    (10 of 16 per tuple); rows whose node pair comes out reversed map the
+    transposed source block (t, b, a) instead (it exists in the full
+    16-block buffer), diagonal keys are halved, and the dense matrix is
+    reconstituted as S + S^T.  The mapping is stored per SOURCE row
+    ((16T,) rank + scale), so the per-iteration reduction is a single
+    one-hot matmul over the unpermuted block buffer -- no gather.
+
+    Returns the pair_* fields of TupleLayout.
+    """
+    t_cap, k = tuple_nodes.shape
+    a_idx, b_idx = jnp.triu_indices(k)                 # (10,) each for k=4
+    n1 = tuple_nodes[:, a_idx]                         # (T, 10)
+    n2 = tuple_nodes[:, b_idx]
+    p1 = jnp.minimum(n1, n2)
+    p2 = jnp.maximum(n1, n2)
+    key = (p1 * node_cap + p2).reshape(-1)             # (R,) R = 10 T
+    fwd = (a_idx[None] * k + b_idx[None])
+    rev = (b_idx[None] * k + a_idx[None])
+    base = jnp.arange(t_cap, dtype=jnp.int32)[:, None] * (k * k)
+    src = base + jnp.where(n1 <= n2, fwd, rev)
+    src = src.reshape(-1).astype(jnp.int32)
+
+    key_s, src_s = jax.lax.sort((key, src), num_keys=1, is_stable=False)
+    new_pair = jnp.concatenate([
+        jnp.ones((1,), bool), key_s[1:] != key_s[:-1]])
+    rank_raw = jnp.cumsum(new_pair) - 1
+    in_range = rank_raw < pair_cap - 1
+    rank = jnp.clip(rank_raw, 0, pair_cap - 1).astype(jnp.int32)
+    pair_overflow = jnp.sum(new_pair & ~in_range).astype(jnp.int32)
+
+    kp1 = (key_s // node_cap).astype(jnp.int32)
+    kp2 = (key_s % node_cap).astype(jnp.int32)
+    dim = 7 * node_cap
+    dest = jnp.full((pair_cap, 2), dim, dtype=jnp.int32)
+    dest = dest.at[jnp.where(in_range, rank, pair_cap)].set(
+        jnp.stack([7 * kp1, 7 * kp2], axis=1), mode="drop")
+    scale_s = jnp.where(kp1 == kp2, 0.5, 1.0)
+    scale_s = jnp.where(in_range, scale_s, 0.0).astype(jnp.float32)
+
+    # Scatter back to source-row order (src values are unique).
+    rank_of_src = jnp.full((t_cap * k * k,), pair_cap - 1,
+                           jnp.int32).at[src_s].set(rank)
+    scale_of_src = jnp.zeros((t_cap * k * k,),
+                             jnp.float32).at[src_s].set(scale_s)
+    return rank_of_src, scale_of_src, dest, pair_overflow
+
+
+def segment_sum_matmul(values, seg_ids, num_segments: int):
+    """Segment sum as a one-hot matmul: MXU-formulated replacement for
+    ``zeros.at[seg_ids].add(values)`` (the scatter is element-cost-bound on
+    TPU; the matmul is FLOP-cheap and f32-faithful under HIGHEST)."""
+    onehot = (seg_ids[None, :] ==
+              jnp.arange(num_segments, dtype=seg_ids.dtype)[:, None]
+              ).astype(values.dtype)
+    return jax.lax.dot_general(
+        onehot, values, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST)
+
+
+def _scatter_blocks_set(dense, starts, blocks):
+    """Unique set-scatter of (P, 7, 7) blocks into (dim, dim) at row/col
+    ``starts`` (P, 2); out-of-range starts (the overflow sink) are dropped.
+
+    Element-indexed .set (P x 49 unique elements, ~2.6 ms at P=4096) -- a
+    true windowed lax.scatter lowers ~7x slower on TPU (~17 ms), so the
+    explicit index grids win."""
+    p = starts.shape[0]
+    seven = jnp.arange(7, dtype=starts.dtype)
+    r_idx = starts[:, 0, None, None] + seven[None, :, None]
+    c_idx = starts[:, 1, None, None] + seven[None, None, :]
+    return dense.at[r_idx, c_idx].set(
+        blocks.astype(dense.dtype).reshape(p, 7, 7), mode="drop",
+        unique_indices=True)
+
+
+def expand_pairs(layout: TupleLayout, gram, jtr_t, node_cap: int,
+                 acc_dtype=jnp.float32):
+    """Per-tuple Grams -> dense (7J, 7J) JTJ + (J, 7) JTr via the pair
+    layout: gather the symmetric half of the 7x7 blocks in pair-sorted
+    order, one-hot-matmul the duplicates together, windowed-set-scatter the
+    distinct blocks (S), and symmetrize (S + S^T).  JTr reduces with a
+    node-one-hot matmul.  Replaces expand_to_blocks + the block->dense
+    transpose when cfg.solver.assembly_expand == "pairs"."""
+    t_cap, d, _ = gram.shape
+    k = layout.tuple_nodes.shape[1]
+    dim = 7 * node_cap
+    blocks = jax.lax.reshape(gram.reshape(t_cap, k, 7, k, 7),
+                             (t_cap * k * k, 49), dimensions=(0, 1, 3, 2, 4))
+    rows = blocks * layout.pair_scale[:, None]
+    pair_cap = layout.pair_dest.shape[0]
+    acc = segment_sum_matmul(rows, layout.pair_rank, pair_cap)
+    s = jnp.zeros((dim, dim), acc_dtype)
+    s = _scatter_blocks_set(s, layout.pair_dest, acc.reshape(pair_cap, 7, 7))
+    jtj = s + s.T
+
+    # JTr: (T, K, 7) anchor rows -> (J, 7) by node one-hot.
+    flat_nodes = layout.tuple_nodes.reshape(-1)          # (T*K,)
+    jtr = segment_sum_matmul(-jtr_t.reshape(t_cap * k, 7), flat_nodes,
+                             node_cap)
+    return jtj, jtr
 
 
 def expand_to_blocks(layout: TupleLayout, gram, jtr_t, jtj, jtr):

@@ -147,7 +147,7 @@ def lm_solve(cfg: SuPerConfig, ctx: LMContext, intr: Intrinsics,
     # at the identity warp; iterations re-linearize only the warp field.
     assoc = None
     if cfg.solver.association == "per_frame" and cfg.losses.sf_point_plane:
-        assoc = associate(cfg, ctx, beta0, intr)
+        assoc = associate(cfg, ctx, beta0, intr, identity=True)
 
     def solve_damped(a, rhs):
         """Solve the damped, Jacobi-scaled normal system.

@@ -96,7 +96,9 @@ def prepare_lm(cfg: SuPerConfig, surfels: SurfelState, graph: GraphState,
             surfels.knn_idx, surfels.active, graph.capacity,
             tuple_cap=sol.assembly_tuple_cap,
             pad_group=sol.assembly_pad_group,
-            chunk=sol.assembly_chunk)
+            chunk=sol.assembly_chunk,
+            pair_cap=(sol.assembly_pair_cap
+                      if sol.assembly_expand == "pairs" else 0))
         src = layout.src_of
         sf_mask = layout.slot_valid & surfels.active[src]
         sf_knn_idx = gather_rows(surfels.knn_idx, src)   # (K, Np)
@@ -136,7 +138,9 @@ def _chunk_xs(ctx: LMContext, chunk: int):
     """Reshape the surfel-dim context into scan inputs of row chunks.
 
     Returns xs pytree with leading dim num_chunks; bodies convert to
-    row-major DataChunk views (conversions stay fusion-internal).
+    row-major DataChunk views (conversions stay fusion-internal).  In tuple
+    layout mode the per-chunk G-block tuple ids ride along (6th element) so
+    bodies can fetch beta by tuple broadcast instead of a per-surfel gather.
     """
     np_cap = ctx.sf_mask.shape[0]
     assert np_cap % chunk == 0, (np_cap, chunk)
@@ -145,17 +149,43 @@ def _chunk_xs(ctx: LMContext, chunk: int):
     def split(a):  # (F, Np) -> (nc, F, C)
         return jnp.moveaxis(a.reshape(a.shape[0], nc, chunk), 1, 0)
 
+    if ctx.layout is not None:
+        bpc = chunk // ctx.layout.pad_group_of(np_cap)
+        bt = ctx.layout.block_tuple.reshape(nc, bpc)
+    else:
+        bt = jnp.zeros((nc, 1), jnp.int32)
     return (
         ctx.sf_mask.reshape(nc, chunk),
         split(ctx.sf_knn_idx),
         split(ctx.sf_knn_w),
         split(ctx.sf_knn),
         split(ctx.sf_diff),
+        bt,
     ), nc
 
 
+def _beta_k_of(ctx: LMContext, beta_t, xs_elem):
+    """Per-anchor parameters (C, K, 7) for one chunk.
+
+    Tuple layout: G-blocks are tuple-pure, so beta is fetched once per
+    tuple ((T, K, 7) ``beta_t``) and broadcast per block -- ~20x fewer
+    gather indices than the per-surfel ``beta[knn_idx]`` (which costs
+    ~7 ms/iteration at 480p).  Scatter mode falls back to the row gather.
+    """
+    mask, idx_fm = xs_elem[0], xs_elem[1]
+    c = mask.shape[-1]
+    if beta_t is None:
+        return None  # caller gathers from beta via chunk.knn_idx
+    bt_c = xs_elem[5]                      # (C / G,)
+    bb = beta_t[bt_c]                      # (C/G, K, 7)
+    k = bb.shape[-2]
+    g = c // bt_c.shape[-1]
+    return jnp.broadcast_to(bb[:, None], (bb.shape[0], g, k, 7)
+                            ).reshape(c, k, 7)
+
+
 def _chunk_view(xs_elem) -> DataChunk:
-    mask, idx_fm, w_fm, knn_fm, diff_fm = xs_elem
+    mask, idx_fm, w_fm, knn_fm, diff_fm = xs_elem[:5]
     c = mask.shape[-1]
     # Packed (K*3, C) rows are k-major, so (C, K*3) -> (C, K, 3) is exact.
     return DataChunk(
@@ -198,17 +228,29 @@ class Assoc(NamedTuple):
     mask: jnp.ndarray   # (Np,) association validity
 
 
-def associate(cfg: SuPerConfig, ctx: LMContext, beta, intr: Intrinsics
-              ) -> Assoc:
-    """One projective-association pass at the given beta (chunk-streamed)."""
+def associate(cfg: SuPerConfig, ctx: LMContext, beta, intr: Intrinsics,
+              identity: bool = False) -> Assoc:
+    """One projective-association pass at the given beta (chunk-streamed).
+
+    ``identity=True`` skips the warp math entirely: at the identity warp
+    the blended transform returns the surfel point itself
+    (sum_k w_k (diff_k + g_k) with normalized weights), so the pass is just
+    projection + sampling."""
     chunk = _cost_chunk_size(cfg, ctx)
     xs, nc = _chunk_xs(ctx, chunk)
+    beta_t = (beta[ctx.layout.tuple_nodes] if ctx.layout is not None
+              and not identity else None)
 
     def one(xs_elem):
         cv = _chunk_view(xs_elem)
-        beta_k = beta[cv.knn_idx]
-        tp = transform_quat_t(cv.diff, beta_k)
-        tp = jnp.sum(cv.knn_w[..., None] * (tp + cv.knn), axis=-2)
+        if identity:
+            tp = jnp.sum(cv.knn_w[..., None] * (cv.diff + cv.knn), axis=-2)
+        else:
+            beta_k = _beta_k_of(ctx, beta_t, xs_elem)
+            if beta_k is None:
+                beta_k = beta[cv.knn_idx]
+            tp = transform_quat_t(cv.diff, beta_k)
+            tp = jnp.sum(cv.knn_w[..., None] * (tp + cv.knn), axis=-2)
         o, n, _, _, mask = _project_and_sample(cfg, ctx, cv, tp, intr,
                                                grad=False)
         return o.T, n.T, mask  # (3, C), (3, C), (C,)
@@ -236,10 +278,9 @@ def _assoc_chunk_xs(assoc: Assoc, chunk: int):
     return (split(assoc.o), split(assoc.n), assoc.mask.reshape(nc, chunk))
 
 
-def frozen_chunk_residual(chunk: DataChunk, o_fm, n_fm, amask, beta,
+def frozen_chunk_residual(chunk: DataChunk, o_fm, n_fm, amask, beta_k,
                           weight: float):
-    """r = lambda n^T (T(p) - o) with frozen (o, n)."""
-    beta_k = beta[chunk.knn_idx]
+    """r = lambda n^T (T(p) - o) with frozen (o, n); beta_k: (C, K, 7)."""
     tp = transform_quat_t(chunk.diff, beta_k)
     tp = jnp.sum(chunk.knn_w[..., None] * (tp + chunk.knn), axis=-2)
     mask = chunk.mask & amask
@@ -247,7 +288,7 @@ def frozen_chunk_residual(chunk: DataChunk, o_fm, n_fm, amask, beta,
     return jnp.where(mask, r, 0.0), mask
 
 
-def frozen_chunk_jacobian(chunk: DataChunk, o_fm, n_fm, amask, beta,
+def frozen_chunk_jacobian(chunk: DataChunk, o_fm, n_fm, amask, beta_k,
                           weight: float):
     """Frozen-association residual + gradient rows.
 
@@ -258,8 +299,8 @@ def frozen_chunk_jacobian(chunk: DataChunk, o_fm, n_fm, amask, beta,
       n^T dT/dqw = 2 n.(qv x v)
       n^T dT/dqv = 2 [ (qv.v) n + (n.qv) v - 2 (n.v) qv - qw (n x v) ]
     (the transpose-contraction of super/utils.py:59-69's d_qv).
+    beta_k: (C, K, 7) per-anchor parameters (gathered or tuple-broadcast).
     """
-    beta_k = beta[chunk.knn_idx]                        # (C, K, 7)
     qw = beta_k[..., 0:1]
     qv = beta_k[..., 1:4]
     v = chunk.diff                                      # (C, K, 3)
@@ -287,9 +328,8 @@ def frozen_chunk_jacobian(chunk: DataChunk, o_fm, n_fm, amask, beta,
 
 
 def data_chunk_residual(cfg: SuPerConfig, ctx: LMContext, chunk: DataChunk,
-                        beta, intr: Intrinsics, weight: float):
+                        beta_k, intr: Intrinsics, weight: float):
     """Masked residual vector lambda * n^T (T(p) - o) for one chunk."""
-    beta_k = beta[chunk.knn_idx]
     trans_points = transform_quat_t(chunk.diff, beta_k)
     trans_points = jnp.sum(chunk.knn_w[..., None] * (trans_points + chunk.knn),
                            axis=-2)
@@ -300,7 +340,7 @@ def data_chunk_residual(cfg: SuPerConfig, ctx: LMContext, chunk: DataChunk,
 
 
 def data_chunk_jacobian(cfg: SuPerConfig, ctx: LMContext, chunk: DataChunk,
-                        beta, intr: Intrinsics, weight: float):
+                        beta_k, intr: Intrinsics, weight: float):
     """Residual + per-anchor 7-dim gradient rows for one chunk.
 
     Returns (r (C,), g (C, K, 7), mask (C,)); rows zeroed where masked.
@@ -308,7 +348,7 @@ def data_chunk_jacobian(cfg: SuPerConfig, ctx: LMContext, chunk: DataChunk,
     """
     skew_v = skew(chunk.diff)
     trans_points, jac = blend_warp_jac(
-        chunk.diff, chunk.knn, beta[chunk.knn_idx], chunk.knn_w,
+        chunk.diff, chunk.knn, beta_k, chunk.knn_w,
         skew_v=skew_v)  # jac: (C, K, 3, 4), knn_w-weighted
     new_points, new_norms, dpdpi, dndpi, mask = _project_and_sample(
         cfg, ctx, chunk, trans_points, intr, grad=True)
@@ -337,7 +377,7 @@ def data_chunk_jacobian(cfg: SuPerConfig, ctx: LMContext, chunk: DataChunk,
         [dndq, w4 * jnp.broadcast_to(dndt[:, None], dndq.shape[:2] + (3, 3))],
         axis=-1)
     dpdq = jac - dpdt[:, None] @ jac
-    eye3 = jnp.eye(3, dtype=beta.dtype)
+    eye3 = jnp.eye(3, dtype=beta_k.dtype)
     dpdq_b = w4 * (eye3 - dpdt[:, None])
     dpdq = jnp.concatenate([dpdq, dpdq_b], axis=-1)  # (C, K, 3, 7)
 
@@ -349,12 +389,15 @@ def data_chunk_jacobian(cfg: SuPerConfig, ctx: LMContext, chunk: DataChunk,
     return r, g, mask
 
 
-def _residual_of(cfg, ctx, beta, intr, weight, xs_elem, assoc_elem):
+def _residual_of(cfg, ctx, beta, beta_t, intr, weight, xs_elem, assoc_elem):
+    cv = _chunk_view(xs_elem)
+    beta_k = _beta_k_of(ctx, beta_t, xs_elem)
+    if beta_k is None:
+        beta_k = beta[cv.knn_idx]
     if assoc_elem is None:
-        return data_chunk_residual(cfg, ctx, _chunk_view(xs_elem), beta,
-                                   intr, weight)
+        return data_chunk_residual(cfg, ctx, cv, beta_k, intr, weight)
     o, n, am = assoc_elem
-    return frozen_chunk_residual(_chunk_view(xs_elem), o, n, am, beta, weight)
+    return frozen_chunk_residual(cv, o, n, am, beta_k, weight)
 
 
 def data_term_residual(cfg: SuPerConfig, ctx: LMContext, beta,
@@ -364,15 +407,16 @@ def data_term_residual(cfg: SuPerConfig, ctx: LMContext, beta,
     chunk = _cost_chunk_size(cfg, ctx)
     xs, nc = _chunk_xs(ctx, chunk)
     axs = None if assoc is None else _assoc_chunk_xs(assoc, chunk)
+    beta_t = beta[ctx.layout.tuple_nodes] if ctx.layout is not None else None
     if nc == 1:
         take0 = lambda t: jax.tree.map(lambda a: a[0], t)  # noqa: E731
-        return _residual_of(cfg, ctx, beta, intr, weight, take0(xs),
+        return _residual_of(cfg, ctx, beta, beta_t, intr, weight, take0(xs),
                             None if axs is None else take0(axs))
 
     def body(_, elems):
         xs_elem, assoc_elem = elems
-        return None, _residual_of(cfg, ctx, beta, intr, weight, xs_elem,
-                                  assoc_elem)
+        return None, _residual_of(cfg, ctx, beta, beta_t, intr, weight,
+                                  xs_elem, assoc_elem)
 
     _, (rs, masks) = jax.lax.scan(body, None, (xs, axs))
     return rs.reshape(-1), masks.reshape(-1)
@@ -385,15 +429,17 @@ def data_term_cost(cfg: SuPerConfig, ctx: LMContext, beta, intr: Intrinsics,
     chunk = _cost_chunk_size(cfg, ctx)
     xs, nc = _chunk_xs(ctx, chunk)
     axs = None if assoc is None else _assoc_chunk_xs(assoc, chunk)
+    beta_t = beta[ctx.layout.tuple_nodes] if ctx.layout is not None else None
     if nc == 1:
         take0 = lambda t: jax.tree.map(lambda a: a[0], t)  # noqa: E731
-        r, _ = _residual_of(cfg, ctx, beta, intr, weight, take0(xs),
+        r, _ = _residual_of(cfg, ctx, beta, beta_t, intr, weight, take0(xs),
                             None if axs is None else take0(axs))
         return jnp.sum(r * r)
 
     def body(acc, elems):
         xs_elem, assoc_elem = elems
-        r, _ = _residual_of(cfg, ctx, beta, intr, weight, xs_elem, assoc_elem)
+        r, _ = _residual_of(cfg, ctx, beta, beta_t, intr, weight, xs_elem,
+                            assoc_elem)
         return acc + jnp.sum(r * r), None
 
     total, _ = jax.lax.scan(body, jnp.asarray(0.0, beta.dtype), (xs, axs))
@@ -502,21 +548,29 @@ def _add_blocks(jtj, rows_nodes, cols_nodes, vals):
     return jtj.at[r, c].add(vals)
 
 
-def _jacobian_of(cfg, ctx, beta, intr, weight, xs_elem, assoc_elem):
+def _jacobian_of(cfg, ctx, beta, beta_t, intr, weight, xs_elem, assoc_elem):
+    cv = _chunk_view(xs_elem)
+    beta_k = _beta_k_of(ctx, beta_t, xs_elem)
+    if beta_k is None:
+        beta_k = beta[cv.knn_idx]
     if assoc_elem is None:
-        return data_chunk_jacobian(cfg, ctx, _chunk_view(xs_elem), beta,
-                                   intr, weight)
+        return data_chunk_jacobian(cfg, ctx, cv, beta_k, intr, weight)
     o, n, am = assoc_elem
-    return frozen_chunk_jacobian(_chunk_view(xs_elem), o, n, am, beta, weight)
+    return frozen_chunk_jacobian(cv, o, n, am, beta_k, weight)
 
 
 def _data_normal_eq_tuple(cfg, ctx, beta, intr, weight, jtj, jtr,
-                          assoc=None):
+                          assoc=None, acc_dtype=None):
     """Tuple-grouped MXU path: jacobian chunks -> G-block Grams -> expand.
 
     Returns (jtj, jtr, cost): the scalar sum of squared residuals falls out
     of the same pass (the "deferred acceptance" LM schedule consumes it, so
     no separate cost evaluation is needed per iteration).
+
+    With ``assembly_expand == "pairs"`` the incoming (jtj, jtr) must be
+    None: the dense (7J, 7J) matrix is *created* here (windowed set-scatter
+    of the distinct node-pair blocks + symmetrization) and the graph terms
+    scatter-add on top of it afterwards.
     """
     sol = cfg.solver
     chunk = _cost_chunk_size(cfg, ctx)
@@ -524,10 +578,24 @@ def _data_normal_eq_tuple(cfg, ctx, beta, intr, weight, jtj, jtr,
     axs = None if assoc is None else _assoc_chunk_xs(assoc, chunk)
     g_per = sol.assembly_pad_group
     zero = jnp.asarray(0.0, beta.dtype)
+    layout = ctx.layout
+    t_cap = layout.tuple_nodes.shape[0]
+    j_cap = ctx.ed_mask.shape[0]
+    pairs = layout.pair_rank is not None
+    beta_t = beta[layout.tuple_nodes]      # (T, K, 7): per-tuple params
+
+    def finish(gram, jtr_t, cost):
+        if pairs:
+            dense, jtr7 = assembly.expand_pairs(
+                layout, gram, jtr_t, j_cap,
+                acc_dtype=acc_dtype or beta.dtype)
+            return dense, jtr7, cost
+        jj, jr = assembly.expand_to_blocks(layout, gram, jtr_t, jtj, jtr)
+        return jj, jr, cost
 
     def jac_chunk(xs_elem, assoc_elem):
-        r, g, _ = _jacobian_of(cfg, ctx, beta, intr, weight, xs_elem,
-                               assoc_elem)
+        r, g, _ = _jacobian_of(cfg, ctx, beta, beta_t, intr, weight,
+                               xs_elem, assoc_elem)
         h = g.reshape(g.shape[0], -1)  # (C, 28)
         nb = h.shape[0] // g_per
         hb = h.reshape(nb, g_per, 28)
@@ -535,13 +603,12 @@ def _data_normal_eq_tuple(cfg, ctx, beta, intr, weight, jtj, jtr,
         part = jnp.einsum("bgi,bgj->bij", hb, ext).reshape(nb, 28 * 29)
         return part, jnp.sum(r * r)
 
-    t_cap = ctx.layout.tuple_nodes.shape[0]
     if sol.assembly_backend == "pallas" and beta.dtype == jnp.float32:
         # Fused Pallas path: compute (r, h) per chunk, then one kernel does
         # both reduction levels (pallas_kernels/gram.py).
         def rh_chunk(xs_elem, assoc_elem):
-            r, g, _ = _jacobian_of(cfg, ctx, beta, intr, weight, xs_elem,
-                                   assoc_elem)
+            r, g, _ = _jacobian_of(cfg, ctx, beta, beta_t, intr, weight,
+                                   xs_elem, assoc_elem)
             return r, g.reshape(g.shape[0], 28)
 
         if nc == 1:
@@ -556,11 +623,9 @@ def _data_normal_eq_tuple(cfg, ctx, beta, intr, weight, jtj, jtr,
         from super_tpu.pallas_kernels.gram import tuple_gram_pallas
 
         gram, jtr_t = tuple_gram_pallas(
-            h_all, r_all, ctx.layout.block_tuple, tuple_cap=t_cap,
+            h_all, r_all, layout.block_tuple, tuple_cap=t_cap,
             block=sol.assembly_pad_group)
-        jtj, jtr = assembly.expand_to_blocks(ctx.layout, gram, jtr_t, jtj,
-                                             jtr)
-        return jtj, jtr, jnp.sum(r_all * r_all)
+        return finish(gram, jtr_t, jnp.sum(r_all * r_all))
 
     if nc == 1:
         take0 = lambda t: jax.tree.map(lambda a: a[0], t)  # noqa: E731
@@ -574,12 +639,13 @@ def _data_normal_eq_tuple(cfg, ctx, beta, intr, weight, jtj, jtr,
         cost, parts = jax.lax.scan(scan_body, zero, (xs, axs))
         partial = parts.reshape(-1, 28 * 29)
 
-    acc = jnp.zeros((t_cap, 28 * 29), dtype=beta.dtype).at[
-        ctx.layout.block_tuple].add(partial)
+    if sol.assembly_combine == "matmul":
+        acc = assembly.segment_sum_matmul(partial, layout.block_tuple, t_cap)
+    else:
+        acc = jnp.zeros((t_cap, 28 * 29), dtype=beta.dtype).at[
+            layout.block_tuple].add(partial)
     acc = acc.reshape(t_cap, 28, 29)
-    jtj, jtr = assembly.expand_to_blocks(ctx.layout, acc[..., :28],
-                                         acc[..., 28], jtj, jtr)
-    return jtj, jtr, cost
+    return finish(acc[..., :28], acc[..., 28], cost)
 
 
 def _data_normal_eq_scatter(cfg, ctx, beta, intr, weight, jtj, jtr,
@@ -593,10 +659,12 @@ def _data_normal_eq_scatter(cfg, ctx, beta, intr, weight, jtj, jtr,
     axs = None if assoc is None else _assoc_chunk_xs(assoc, chunk)
     zero = jnp.asarray(0.0, beta.dtype)
 
+    beta_t = beta[ctx.layout.tuple_nodes] if ctx.layout is not None else None
+
     def accumulate(carry, xs_elem, assoc_elem):
         jtj_d, jtr_b, cost = carry
         cv = _chunk_view(xs_elem)
-        r, g, _ = _jacobian_of(cfg, ctx, beta, intr, weight, xs_elem,
+        r, g, _ = _jacobian_of(cfg, ctx, beta, beta_t, intr, weight, xs_elem,
                                assoc_elem)
         k = cv.knn_idx.shape[1]
         for a in range(k):
@@ -640,18 +708,28 @@ def assemble_normal_equations(cfg: SuPerConfig, ctx: LMContext, beta,
     j_cap = ctx.ed_mask.shape[0]
     dim = 7 * j_cap
     losses = cfg.losses
-    # Accumulation layout: for small graphs the (J, J, 7, 7) block layout is
-    # fastest (contiguous 7x7 tile writes) and its 20.9x tile-padding
-    # overhead is affordable (~1 GB at J=512); for dense graphs it would be
-    # 16 GB, so blocks scatter directly into the final dense matrix.
-    block_layout = j_cap <= 512
     acc_dtype = (jnp.bfloat16 if cfg.solver.jtj_dtype == "bf16"
                  else beta.dtype)
-    if block_layout:
+    # Pair expansion writes the dense (7J, 7J) matrix directly (windowed
+    # set-scatter of distinct node-pair blocks + symmetrization): no block
+    # intermediate, no block->dense transpose.
+    pairs_mode = (losses.sf_point_plane and ctx.layout is not None
+                  and ctx.layout.pair_rank is not None)
+    # Accumulation layout for the scatter paths: for small graphs the
+    # (J, J, 7, 7) block layout is fastest (contiguous 7x7 tile writes) and
+    # its 20.9x tile-padding overhead is affordable (~1 GB at J=512); for
+    # dense graphs it would be 16 GB, so blocks scatter directly into the
+    # final dense matrix.
+    block_layout = j_cap <= 512 and not pairs_mode
+    if pairs_mode:
+        jtj = None   # created by _data_normal_eq_tuple via expand_pairs
+        jtr = None
+    elif block_layout:
         jtj = jnp.zeros((j_cap, j_cap, 7, 7), dtype=acc_dtype)
+        jtr = jnp.zeros((j_cap, 7), dtype=beta.dtype)
     else:
         jtj = jnp.zeros((dim, dim), dtype=acc_dtype)
-    jtr = jnp.zeros((j_cap, 7), dtype=beta.dtype)
+        jtr = jnp.zeros((j_cap, 7), dtype=beta.dtype)
     if axis_name is None:
         graph_scale = 1.0
     else:
@@ -663,7 +741,8 @@ def assemble_normal_equations(cfg: SuPerConfig, ctx: LMContext, beta,
         weight = losses.sf_point_plane_weight
         if ctx.layout is not None:
             jtj, jtr, dcost = _data_normal_eq_tuple(
-                cfg, ctx, beta, intr, weight, jtj, jtr, assoc=assoc)
+                cfg, ctx, beta, intr, weight, jtj, jtr, assoc=assoc,
+                acc_dtype=acc_dtype)
         else:
             jtj, jtr, dcost = _data_normal_eq_scatter(
                 cfg, ctx, beta, intr, weight, jtj, jtr, assoc=assoc)

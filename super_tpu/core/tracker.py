@@ -106,6 +106,8 @@ class StepOutputs(NamedTuple):
     num_surfels: jnp.ndarray
     num_nodes: jnp.ndarray
     tuple_overflow: jnp.ndarray    # surfels dropped from the JTJ assembly
+    pair_overflow: jnp.ndarray     # distinct node pairs beyond pair_cap
+    #   (their JTJ blocks are lost; raise solver.assembly_pair_cap)
     proj_overflow: jnp.ndarray     # surfels deleted beyond proj_map_depth
     add_overflow: jnp.ndarray      # add candidates deferred (capacity)
     free_exhausted: jnp.ndarray    # adds dropped: no free surfel slot
@@ -132,6 +134,9 @@ def track_step(cfg: SuPerConfig, intr: Intrinsics, state: TrackerState,
         solve_cost, damping = result.cost, result.final_damping
         tuple_overflow = (ctx.layout.overflow_count
                           if ctx.layout is not None else zero_i)
+        pair_overflow = (ctx.layout.pair_overflow
+                         if ctx.layout is not None
+                         and ctx.layout.pair_overflow is not None else zero_i)
     else:
         from super_tpu.core.optimizer import graph_fit
 
@@ -142,6 +147,7 @@ def track_step(cfg: SuPerConfig, intr: Intrinsics, state: TrackerState,
                                            deform[:-1], global_dq=deform[-1])
         damping = jnp.asarray(0.0, jnp.float32)
         tuple_overflow = zero_i
+        pair_overflow = zero_i
     surfels, remap, fdiag = fusion_mod.fuse_frame(cfg, intr, surfels, graph,
                                                   frame)
     # Tracked surfels merged into another slot follow the merge
@@ -164,6 +170,7 @@ def track_step(cfg: SuPerConfig, intr: Intrinsics, state: TrackerState,
         num_surfels=surfels.num_active,
         num_nodes=graph.num_active,
         tuple_overflow=tuple_overflow,
+        pair_overflow=pair_overflow,
         proj_overflow=fdiag.proj_overflow,
         add_overflow=fdiag.add_overflow,
         free_exhausted=fdiag.free_exhausted,

@@ -73,8 +73,11 @@ def track_step_sharded(cfg: SuPerConfig, intr: Intrinsics, num_shards: int,
     reduces its G-blocks into full-size tuple accumulators and the psum of
     (JTJ, JTr, cost) is exact (no scatter-assembly fallback)."""
     ctx = prepare_lm(cfg, state.surfels, state.graph, frame)
+    zero_i = jnp.asarray(0, jnp.int32)
     tuple_overflow = (ctx.layout.overflow_count if ctx.layout is not None
-                      else jnp.asarray(0, jnp.int32))
+                      else zero_i)
+    pair_overflow = (ctx.layout.pair_overflow if ctx.layout is not None
+                     and ctx.layout.pair_overflow is not None else zero_i)
     if num_shards > 1:
         ctx = shard_ctx(ctx, "shard", num_shards)
         result = lm_solve(cfg, ctx, intr, axis_name="shard")
@@ -97,6 +100,7 @@ def track_step_sharded(cfg: SuPerConfig, intr: Intrinsics, num_shards: int,
                        num_surfels=surfels.num_active,
                        num_nodes=graph.num_active,
                        tuple_overflow=tuple_overflow,
+                       pair_overflow=pair_overflow,
                        proj_overflow=fdiag.proj_overflow,
                        add_overflow=fdiag.add_overflow,
                        free_exhausted=fdiag.free_exhausted)

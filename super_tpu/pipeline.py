@@ -126,7 +126,7 @@ class SuPerPipeline:
             jax.block_until_ready(self.state.surfels.points)
             self.frame_times.append(_time.perf_counter() - tic)
             if outs is not None:
-                names = ("tuple_overflow", "proj_overflow", "add_overflow",
+                names = ("tuple_overflow", "pair_overflow", "proj_overflow", "add_overflow",
                          "free_exhausted")
                 # One host fetch for all counters (the run loop already
                 # syncs per frame for timing).

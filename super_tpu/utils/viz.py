@@ -43,7 +43,7 @@ class TrackingLogger:
         if frame_ms is not None:
             w.add_scalar("optimization_record/optim_time_per_frame",
                          frame_ms / 1e3, time)
-        for name in ("tuple_overflow", "proj_overflow", "add_overflow",
+        for name in ("tuple_overflow", "pair_overflow", "proj_overflow", "add_overflow",
                      "free_exhausted"):
             if hasattr(outs, name):
                 w.add_scalar(f"capacity/{name}", int(getattr(outs, name)),

@@ -249,7 +249,11 @@ def test_hypotheses_schedule_descends_at_least_as_much(scene, tracker0):
     res_h = jax.jit(lambda c: lm_solve(
         _sched_cfg(cfg, lm_hypotheses=2), c, intr))(ctx)
     assert np.isfinite(float(res_h.cost))
-    assert float(res_h.cost) <= float(res_c.cost) * (1 + 1e-5), (
+    # "No worse" holds exactly only in exact arithmetic (H=2 contains the
+    # classic candidate); f32 reduction-order noise in the assembly
+    # (matmul segment sums, pair symmetrization) wiggles converged costs
+    # by ~1e-4 relative.
+    assert float(res_h.cost) <= float(res_c.cost) * (1 + 1e-3), (
         float(res_h.cost), float(res_c.cost))
 
 
@@ -336,7 +340,8 @@ def test_frozen_jacobian_direct_form(scene, tracker0):
                        dtype=jnp.float32)
     amask = jnp.ones_like(cv.mask)
 
-    r, g, _ = frozen_chunk_jacobian(cv, o_fm, n_fm, amask, beta, 1.0)
+    r, g, _ = frozen_chunk_jacobian(cv, o_fm, n_fm, amask,
+                                    beta[cv.knn_idx], 1.0)
 
     # Reference form: contract the full per-anchor Jacobian.
     tp, jac = blend_warp_jac(cv.diff, cv.knn, beta[cv.knn_idx], cv.knn_w)
