@@ -29,13 +29,18 @@ def main():
     ap.add_argument("--height", type=int, default=480)
     ap.add_argument("--width", type=int, default=640)
     ap.add_argument("--mesh_step_size", type=int, default=30)
-    ap.add_argument("--reps", type=int, default=10)
+    ap.add_argument("--reps", type=int, default=30)
     ap.add_argument("--mode", default="step", choices=["step", "lm"])
-    ap.add_argument("--association", default="per_frame",
+    ap.add_argument("--association", default=None,
                     choices=["per_frame", "per_iteration"],
                     help="per_frame = projective-ICP association (fast); "
-                         "per_iteration = reference resampling semantics")
+                         "per_iteration = reference resampling semantics. "
+                         "Default: benchmark per_frame as the headline and "
+                         "ALSO report per_iteration in the same JSON line.")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--host_loop", action="store_true",
+                    help="dispatch one step per frame from the host instead "
+                         "of the device-resident lax.scan frame loop")
     args = ap.parse_args()
 
     import jax
@@ -74,13 +79,19 @@ def main():
             triangle_capacity=2 * node_cap,
         ),
     )
-    solver_kw = dict(association=args.association)
-    if node_cap > 512:
-        # Dense ED graph (mesh_step 16-ish): more distinct anchor tuples,
-        # and the 7J Cholesky loses to block-Jacobi PCG.
-        solver_kw.update(assembly_tuple_cap=8 * node_cap,
-                         linear_solver="pcg", jtj_dtype="bf16")
-    cfg = cfg.replace(solver=dataclasses.replace(cfg.solver, **solver_kw))
+    def solver_cfg(association):
+        solver_kw = dict(association=association)
+        if node_cap > 512:
+            # Dense ED graph (mesh_step 16-ish): more distinct anchor
+            # tuples, and the 7J Cholesky loses to block-Jacobi PCG.
+            solver_kw.update(assembly_tuple_cap=8 * node_cap,
+                             linear_solver="pcg", jtj_dtype="bf16")
+        return cfg.replace(solver=dataclasses.replace(cfg.solver,
+                                                      **solver_kw))
+
+    associations = ([args.association] if args.association
+                    else ["per_frame", "per_iteration"])
+    cfg = solver_cfg(associations[0])
     intr = default_intrinsics(h, w)
 
     seq = generate(3, h, w, intr=intr)
@@ -95,16 +106,68 @@ def main():
     states = jax.tree.map(bcast, state0)
     fbatch = [jax.tree.map(bcast, f) for f in frames[1:]]
 
+    extra = {}
     if args.mode == "step":
-        step = make_batched_step(cfg, intr)
-        states, outs = step(states, fbatch[0])     # warm-up / compile
-        jax.block_until_ready(outs.lm_cost)
-        tic = time.perf_counter()
-        for i in range(args.reps):
-            states, outs = step(states, fbatch[i % 2])
-        jax.block_until_ready(outs.lm_cost)
-        dt = time.perf_counter() - tic
+        # Stacked (2, ...) frames for the device-resident loop; unbatched
+        # when b == 1 (the scan body then skips the vmap wrapper).
+        f2_src = fbatch if b > 1 else frames[1:]
+        frames2 = jax.tree.map(lambda a, c: jnp.stack([a, c]), f2_src[0],
+                               f2_src[1])
+
+        def run_step(assoc_cfg):
+            if args.host_loop:
+                # One host dispatch per frame.  Representative of a
+                # synchronous host driver; through the axon remote tunnel
+                # each dependent dispatch pays a ~40-150 ms latency floor
+                # that a real TPU host does not.
+                step = make_batched_step(assoc_cfg, intr)
+                st, outs = step(states, fbatch[0])  # warm-up / compile
+                jax.block_until_ready(outs.lm_cost)
+                tic = time.perf_counter()
+                for i in range(args.reps):
+                    st, outs = step(st, fbatch[i % 2])
+                jax.block_until_ready(outs.lm_cost)
+                return time.perf_counter() - tic
+
+            # Device-resident frame loop: `reps` tracked frames per dispatch
+            # (lax.scan alternating two preloaded frames) -- the throughput
+            # of a production host that prefetches frames asynchronously
+            # (runtime/frame_loader.cpp) instead of blocking per frame.
+            from super_tpu.parallel.sharded import track_step_sharded
+
+            def one(s, f):
+                return track_step_sharded(assoc_cfg, intr, 1, s, f)
+
+            def body(st, ix):
+                fr = jax.tree.map(lambda a: a[ix], frames2)
+                if b == 1:
+                    # No vmap wrapper: a unit batch dim still changes
+                    # gather/matmul lowerings measurably on TPU.
+                    st, outs = one(st, fr)
+                else:
+                    st, outs = jax.vmap(one)(st, fr)
+                return st, outs.lm_cost
+
+            @jax.jit
+            def run(st):
+                ixs = jnp.arange(args.reps, dtype=jnp.int32) % 2
+                st, costs = jax.lax.scan(body, st, ixs)
+                return st, costs
+
+            init_states = states if b > 1 else state0
+            st, costs = run(init_states)            # warm-up / compile
+            jax.device_get(costs)  # host fetch: reliable sync on the tunnel
+            tic = time.perf_counter()
+            st, costs = run(init_states)
+            jax.device_get(costs)
+            return time.perf_counter() - tic
+
+        dt = run_step(cfg)
         metric = "tracked frames/s per chip (full step: 10-iter LM + fusion)"
+        if len(associations) > 1:
+            dt2 = run_step(solver_cfg(associations[1]))
+            extra[f"{associations[1]}_hz"] = round(
+                b * args.reps / dt2 / b, 3)
     else:
         ctx = prepare_lm(cfg, state0.surfels, state0.graph, frames[1])
         ctxs = jax.tree.map(bcast, ctx)
@@ -127,6 +190,7 @@ def main():
         "vs_baseline": round(per_stream_hz / 30.0, 4),
         "streams": b,
         "per_stream_hz": round(per_stream_hz, 3),
+        **extra,
     }))
 
 

@@ -152,6 +152,15 @@ def main():
         jax.jit(lambda s: fusion_mod.fuse_frame(cfg, intr, s.surfels,
                                                 s.graph, frames[1])),
         state0, probe=lambda o: o[0].points[0, 0])
+    # Stage-isolated fusion variants: fuse minus fuse_noX = stage X's cost.
+    for tag, kw in (("no2", dict(disable_merging_new_surfels=True)),
+                    ("no3", dict(disable_merging_exist_surfels=True)),
+                    ("no4", dict(disable_adding_new_surfels=True))):
+        cf = cfg.replace(**kw)
+        reg(f"fuse_{tag}",
+            jax.jit(lambda s, _cf=cf: fusion_mod.fuse_frame(
+                _cf, intr, s.surfels, s.graph, frames[1])),
+            state0, probe=lambda o: o[0].points[0, 0])
     reg("step", jax.jit(lambda s: track_step(cfg, intr, s, frames[1])),
         state0, probe=lambda o: o[1].lm_cost)
 

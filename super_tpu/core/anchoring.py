@@ -124,10 +124,13 @@ def recompute_surfel_weights(cfg: SuPerConfig, surfels: SurfelState,
     """Refresh knn_w from current positions, keeping anchor indices
     (fusion step, nodes.py:466-484)."""
     idx = surfels.knn_idx                   # (K, N)
-    anchors = jnp.take(graph.points.T, idx, axis=-1)  # (3, K, N)
+    # One packed (4, J) bank -> one gather for anchors AND radii (gathers
+    # cost per index; K*N is ~1.6M at 480p).
+    bank = jnp.concatenate([graph.points.T, graph.radii[None]], axis=0)
+    g = jnp.take(bank, idx, axis=-1)                  # (4, K, N)
+    anchors, radii = g[:3], g[3]
     diff = surfels.points[:, None, :] - anchors
     dists = jnp.sqrt(jnp.sum(diff * diff, axis=0))    # (K, N)
-    radii = graph.radii[idx]
     finite = jnp.ones_like(dists, dtype=bool)
     w = _anchor_weights(cfg, graph, idx, dists, radii, finite,
                         surfels.seg_conf)

@@ -67,6 +67,9 @@ def build_projection_maps(cfg: SuPerConfig, intr: Intrinsics,
     Returns:
       proj_id: (L, P) int32 surfel slot per (layer, pixel), -1 empty.
       overflow: (N,) bool surfels beyond layer L at their pixel (deleted).
+      pix: (N,) int32 flat pixel of each surfel (0 where invalid).
+      sf_layer: (N,) int32 layer of each surfel -- [0, L) in the map, L if
+        overflow, -1 where the surfel is inactive / projects out of frame.
     """
     h, w = cfg.height, cfg.width
     p = h * w
@@ -75,14 +78,16 @@ def build_projection_maps(cfg: SuPerConfig, intr: Intrinsics,
 
     _, _, coords, in_bounds = project_points(surfels.points, intr, h, w)
     valid = in_bounds & surfels.active
+    pix = jnp.where(valid, coords, 0).astype(jnp.int32)
 
     if cfg.proj_map_mode == "scatter":
         ids = jnp.arange(n, dtype=jnp.int32)
-        safe_coords = jnp.where(valid, coords, 0)
+        safe_coords = pix
         alive = valid
         neg_inf = jnp.asarray(-jnp.inf, surfels.confs.dtype)
         layers = []
-        for _ in range(depth_l):
+        sf_layer = jnp.where(valid, depth_l, -1).astype(jnp.int32)
+        for li in range(depth_l):
             key = jnp.where(alive, surfels.confs, neg_inf)
             best = jnp.full((p,), neg_inf, surfels.confs.dtype).at[
                 safe_coords].max(key)
@@ -93,10 +98,11 @@ def build_projection_maps(cfg: SuPerConfig, intr: Intrinsics,
                 jnp.where(cand, ids, n))
             winner = cand & (ids == wid[safe_coords])
             layers.append(jnp.where(wid < n, wid, -1))
+            sf_layer = jnp.where(winner, li, sf_layer)
             alive = alive & ~winner
         proj_id = jnp.stack(layers, axis=0)
         overflow = alive  # valid coords but never won a layer
-        return proj_id, overflow
+        return proj_id, overflow, pix, sf_layer
 
     key_coords = jnp.where(valid, coords, p)  # invalid -> sentinel bucket
 
@@ -120,9 +126,12 @@ def build_projection_maps(cfg: SuPerConfig, intr: Intrinsics,
     proj_id = proj_id.at[flat_idx].set(order.astype(jnp.int32), mode="drop")
     proj_id = proj_id.reshape(depth_l, p)
 
-    overflow_sorted = (sorted_coords < p) & (layer >= depth_l)
-    overflow = jnp.zeros((n,), dtype=bool).at[order].set(overflow_sorted)
-    return proj_id, overflow
+    layer_sorted = jnp.where(sorted_coords < p,
+                             jnp.minimum(layer, depth_l), -1)
+    sf_layer = jnp.zeros((n,), jnp.int32).at[order].set(
+        layer_sorted.astype(jnp.int32))
+    overflow = sf_layer == depth_l
+    return proj_id, overflow, pix, sf_layer
 
 
 def _pack_bank(points, norms, colors, radii, confs, seg, seg_conf,
@@ -167,11 +176,6 @@ def _bank_merge(bank, sl, do, vals: Dict) -> jnp.ndarray:
 def _gathered(bank, sl):
     """One-gather fetch of the merge-relevant surfel fields at slots sl."""
     return _unpack_bank(gather_rows(bank, sl))
-
-
-def _frame_fields(f: FrameData):
-    return dict(points=f.points, norms=f.norms, colors=f.colors,
-                radii=f.radii, confs=f.confs, seg=f.seg, seg_conf=f.seg_conf)
 
 
 def _merge_gate(cfg: SuPerConfig, a: Dict, b: Dict):
@@ -227,6 +231,8 @@ class FusionDiag(NamedTuple):
     add_overflow: jnp.ndarray    # add candidates beyond new_surfel_capacity
     #   (deferred to later frames)
     free_exhausted: jnp.ndarray  # stability-gated adds with no free slot
+    dup_skipped: jnp.ndarray     # deeper-layer pixels beyond the compact
+    #   duplicate-merge list (their duplicate merges wait for a later frame)
 
 
 def fuse_frame(cfg: SuPerConfig, intr: Intrinsics, surfels: SurfelState,
@@ -238,15 +244,22 @@ def fuse_frame(cfg: SuPerConfig, intr: Intrinsics, surfels: SurfelState,
     merged into i (identity elsewhere) for tracked-id fixup."""
     p = cfg.image_pixels
     time = frame.time
-    proj_id, overflow = build_projection_maps(cfg, intr, surfels)
+    proj_id, overflow, sf_pix, sf_layer = build_projection_maps(
+        cfg, intr, surfels)
     surfels = surfels._replace(active=surfels.active & ~overflow)
     layer_occupied = proj_id >= 0  # (L, P)
-    frame_f = _frame_fields(frame)
 
     # --- stage 2: merge candidates into layer surfels ---------------------
-    # The surfel fields live in ONE (F, N) bank across stages 2-3: every
-    # merge is one minor-axis gather + one 2D drop-scatter instead of ~12
-    # per-field ops (scatters pay per index list on TPU).
+    # The surfel fields live in ONE (F, N) bank across stages 2-3.  Stage 2
+    # runs SURFEL-side in one pass: every in-map surfel gates against the
+    # candidate at its own pixel (one minor-axis gather), a scatter-min over
+    # layers picks the lowest gating layer per pixel -- exactly the
+    # sequential layer-walk consumption order of nodes.py:409-422 (a
+    # candidate merges into the first layer that accepts it; surfels occupy
+    # distinct (pixel, layer) slots so no later stage can observe an earlier
+    # merge) -- and the bank updates by SELECT, not scatter (scatters cost
+    # ~5 ns/element on TPU; the full-pixel layer-0 bank scatter alone was
+    # ~25 ms at 480p).
     bank = _pack_bank(surfels.points, surfels.norms, surfels.colors,
                       surfels.radii, surfels.confs, surfels.seg,
                       surfels.seg_conf, time_stamp=surfels.time_stamp)
@@ -254,11 +267,33 @@ def fuse_frame(cfg: SuPerConfig, intr: Intrinsics, surfels: SurfelState,
                        frame.confs, frame.seg, frame.seg_conf)
     depth_l = cfg.capacity.proj_map_depth
 
-    # Compact the sparse layers (>= 1): after frame 1, only a few percent of
-    # pixels carry more than one projected surfel, so the deeper-layer merge
-    # stages run on p/8-sized entry lists instead of full images.
-    p8 = max(p // 8, 1024)
+    if not cfg.disable_merging_new_surfels:
+        # One gather fetches the candidate fields AND its validity.
+        fbank_v = jnp.concatenate(
+            [fbank, frame.valid[None].astype(fbank.dtype)], axis=0)
+        fv = gather_rows(fbank_v, sf_pix)              # (F+1, N)
+        fview = _unpack_bank(fv[:-1])
+        cand_ok = fv[-1] > 0.5
+        sview = _unpack_bank(bank)                     # no gather: own column
+        in_map = (sf_layer >= 0) & (sf_layer < depth_l)
+        gate_n = in_map & cand_ok & _merge_gate(cfg, sview, fview)
+        min_layer = jnp.full((p,), depth_l, jnp.int32).at[sf_pix].min(
+            jnp.where(gate_n, sf_layer, depth_l))
+        do = gate_n & (sf_layer == min_layer[sf_pix])
+        vals = _merged_values(cfg, sview, fview, time, triple_new_color=True)
+        bank = jnp.where(do[None], _pack_vals(vals), bank)
+        consumed = min_layer < depth_l                 # (P,)
+        add_mask = frame.valid & ~consumed
+    else:
+        add_mask = frame.valid
+
+    # Compact the sparse layers (>= 1) for the duplicate-merge stage: after
+    # frame 1, only a few percent of pixels carry more than one projected
+    # surfel, so the O(L^2) pair stages run on small entry lists instead of
+    # full images (the per-stage scatter pays per compact column).
+    p8 = max(p // 16, 1024)
     compact_pix = []
+    dup_skipped = jnp.asarray(0, jnp.int32)
     for l in range(1, depth_l):
         occ = layer_occupied[l]
         rank = jnp.cumsum(occ) - 1
@@ -267,37 +302,8 @@ def fuse_frame(cfg: SuPerConfig, intr: Intrinsics, surfels: SurfelState,
             jnp.arange(p, dtype=jnp.int32), mode="drop")
         cvalid = pix < p
         compact_pix.append((jnp.where(cvalid, pix, 0), cvalid))
-
-    cand_left = frame.valid & layer_occupied[0]
-    add_mask = frame.valid & ~layer_occupied[0]
-    if not cfg.disable_merging_new_surfels:
-        for i in range(depth_l):
-            if i == 0:
-                sl = jnp.clip(proj_id[0], 0, surfels.capacity - 1)
-                try_merge = cand_left & layer_occupied[0]
-                sview = _gathered(bank, sl)
-                gate = _merge_gate(cfg, sview, frame_f)
-                do = try_merge & gate
-                vals = _merged_values(cfg, sview, frame_f, time,
-                                      triple_new_color=True)
-                bank = _bank_merge(bank, sl, do, vals)
-                cand_left = cand_left & ~do
-            else:
-                pix, cvalid = compact_pix[i - 1]
-                sl = jnp.clip(proj_id[i][pix], 0, surfels.capacity - 1)
-                try_merge = cand_left[pix] & cvalid
-                sview = _gathered(bank, sl)
-                fview = _unpack_bank(gather_rows(fbank, pix))
-                gate = _merge_gate(cfg, sview, fview)
-                do = try_merge & gate
-                vals = _merged_values(cfg, sview, fview, time,
-                                      triple_new_color=True)
-                bank = _bank_merge(bank, sl, do, vals)
-                cand_left = cand_left.at[pix].set(
-                    jnp.where(do, False, cand_left[pix]), mode="drop")
-        add_mask = add_mask | cand_left
-    else:
-        add_mask = frame.valid
+        dup_skipped = dup_skipped + jnp.maximum(
+            jnp.sum(occ).astype(jnp.int32) - p8, 0)
 
     # --- stage 3: merge duplicate surfels across layers -------------------
     # Pairs iterate over layer j's compact entry list (j >= 1 always);
@@ -406,6 +412,7 @@ def fuse_frame(cfg: SuPerConfig, intr: Intrinsics, surfels: SurfelState,
         proj_overflow=jnp.sum(overflow).astype(jnp.int32),
         add_overflow=add_overflow,
         free_exhausted=free_exhausted,
+        dup_skipped=dup_skipped,
     )
     return surfels, remap, diag
 

@@ -40,7 +40,7 @@ from super_tpu.geometry.quaternion import (
     transform_quat_t,
     transform_quat_t_jac,
 )
-from super_tpu.ops.bilinear import bilinear_sample_two
+from super_tpu.ops.bilinear import bilinear_sample_bank, build_corner_bank
 
 
 class LMContext(NamedTuple):
@@ -63,6 +63,9 @@ class LMContext(NamedTuple):
     trg_points: jnp.ndarray    # (3, P) candidate points (pixel-indexed)
     trg_norms: jnp.ndarray     # (3, P)
     trg_index_map: jnp.ndarray  # (H, W)
+    trg_corner_bank: jnp.ndarray  # (28, P) 4-corner [valid, point, norm]
+    #   blocks (ops/bilinear.py:build_corner_bank) -- the data-term sampler
+    #   reads THIS at 1 gather index per query instead of 12
     # --- ARAP term (graph-sized, row-major) ---
     ed_mask: jnp.ndarray       # (J,) active nodes
     ed_knn_idx: jnp.ndarray    # (J, K_ed)
@@ -116,6 +119,7 @@ def prepare_lm(cfg: SuPerConfig, surfels: SurfelState, graph: GraphState,
     ed_knn_idx = graph.knn_idx
     d_eds = graph.points[:, None, :] - graph.points[ed_knn_idx]
     ed_pair_mask = graph.active[:, None] & graph.active[ed_knn_idx]
+    index_map = frame.index_map(cfg.height, cfg.width)
     return LMContext(
         sf_mask=sf_mask,
         sf_knn_idx=sf_knn_idx,
@@ -124,7 +128,9 @@ def prepare_lm(cfg: SuPerConfig, surfels: SurfelState, graph: GraphState,
         sf_diff=sf_diff,
         trg_points=frame.points,
         trg_norms=frame.norms,
-        trg_index_map=frame.index_map(cfg.height, cfg.width),
+        trg_index_map=index_map,
+        trg_corner_bank=build_corner_bank(frame.points, frame.norms,
+                                          index_map),
         ed_mask=graph.active,
         ed_knn_idx=ed_knn_idx,
         ed_pair_mask=ed_pair_mask,
@@ -209,9 +215,8 @@ def _project_and_sample(cfg: SuPerConfig, ctx: LMContext, chunk: DataChunk,
         (ctx.trg_index_map.reshape(-1)[coords_c] >= 0)
     mask = chunk.mask & pair_valid & proj_valid
 
-    new_points, new_norms, svalid, dpdpi, dndpi = bilinear_sample_two(
-        ctx.trg_points, ctx.trg_norms, ctx.trg_index_map, v, u,
-        compute_grad=grad)
+    new_points, new_norms, svalid, dpdpi, dndpi = bilinear_sample_bank(
+        ctx.trg_corner_bank, h, w, v, u, compute_grad=grad)
     mask = mask & svalid
     return new_points, new_norms, dpdpi, dndpi, mask
 

@@ -111,6 +111,7 @@ class StepOutputs(NamedTuple):
     proj_overflow: jnp.ndarray     # surfels deleted beyond proj_map_depth
     add_overflow: jnp.ndarray      # add candidates deferred (capacity)
     free_exhausted: jnp.ndarray    # adds dropped: no free surfel slot
+    dup_skipped: jnp.ndarray       # duplicate merges deferred (compact cap)
 
 
 def track_step(cfg: SuPerConfig, intr: Intrinsics, state: TrackerState,
@@ -174,6 +175,7 @@ def track_step(cfg: SuPerConfig, intr: Intrinsics, state: TrackerState,
         proj_overflow=fdiag.proj_overflow,
         add_overflow=fdiag.add_overflow,
         free_exhausted=fdiag.free_exhausted,
+        dup_skipped=fdiag.dup_skipped,
     )
     return new_state, outs
 

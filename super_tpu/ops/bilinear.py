@@ -129,6 +129,92 @@ def bilinear_sample_two(features_a, features_b, index_map, v, u, *,
     return va, vb, valid, grad_a, grad_b
 
 
+def build_corner_bank(points_fm, norms_fm, index_map):
+    """Precompute the 4-corner [valid, point, norm] block of every pixel.
+
+    The hot data-term sampler (`_project_and_sample`) gathers 4 corners x
+    (index_map + two 3-row banks) per query = 12 gather indices per surfel.
+    Gathers on TPU cost per *index* (~2-7 ns), so at ~400k surfels per LM
+    pass that is ~20-25 ms.  This bank packs, per PIXEL p = (y, x), the
+    [valid, point(3), norm(3)] rows of its four bilinear corners
+    (y,x), (y,x+1), (y+1,x), (y+1,x+1) -- built once per frame with shifts
+    (no gathers) -- so a sample is ONE 28-row minor-axis gather at 1 index
+    per query (12x fewer indices).  Features are pre-zeroed where invalid
+    (the sampler's per-corner masking is then just the valid row).
+
+    Returns (28, H*W) float32: 4 corners x [valid, px, py, pz, nx, ny, nz].
+    """
+    h, w = index_map.shape
+    valid = (index_map >= 0)
+    vrow = valid.astype(points_fm.dtype)[None]            # (1, h, w)
+    pts = jnp.where(valid[None], points_fm.reshape(3, h, w), 0.0)
+    nms = jnp.where(valid[None], norms_fm.reshape(3, h, w), 0.0)
+    base = jnp.concatenate([vrow, pts, nms], axis=0)      # (7, h, w)
+    zc = jnp.zeros((7, h, 1), base.dtype)
+    zr = jnp.zeros((7, 1, w), base.dtype)
+    right = jnp.concatenate([base[:, :, 1:], zc], axis=2)       # (y, x+1)
+    down = jnp.concatenate([base[:, 1:, :], zr], axis=1)        # (y+1, x)
+    downright = jnp.concatenate([down[:, :, 1:], zc], axis=2)   # (y+1, x+1)
+    return jnp.concatenate([base, right, down, downright],
+                           axis=0).reshape(28, h * w)
+
+
+def bilinear_sample_bank(bank, h: int, w: int, v, u, *, compute_grad=False):
+    """Sample a :func:`build_corner_bank` bank at float coords (v, u).
+
+    Validity-identical to :func:`bilinear_sample_two` on the same
+    (points, norms, index_map) triple, and value/gradient-identical at every
+    VALID query, at 1 gather index per query instead of 12 (see
+    build_corner_bank).  At invalid queries (out-of-bounds / invalid-corner
+    -- always masked by callers) the partial sums may differ from the
+    indexed sampler's: a clamped out-of-range base index reads a shifted
+    neighbor column.
+    Returns (values_a, values_b, valid, grad_a, grad_b).
+    """
+    fl_v = jnp.floor(v)
+    fl_u = jnp.floor(u)
+    vi = fl_v.astype(jnp.int32)
+    ui = fl_u.astype(jnp.int32)
+    flat = jnp.clip(vi, 0, h - 1) * w + jnp.clip(ui, 0, w - 1)
+
+    g = jnp.moveaxis(jnp.take(bank, flat, axis=-1), 0, -1)  # (N, 28)
+    g = g.reshape(g.shape[0], 4, 7)
+    # Per-corner in-bounds (the shifted bank rows already carry valid=0 for
+    # corners shifted in from outside, but a clamped base index can land on
+    # a REAL pixel when fl is out of range -- mask those corners off).
+    v0 = (vi >= 0) & (vi < h)
+    v1 = (vi + 1 >= 0) & (vi + 1 < h)
+    u0 = (ui >= 0) & (ui < w)
+    u1 = (ui + 1 >= 0) & (ui + 1 < w)
+    in_b = jnp.stack([v0 & u0, v0 & u1, v1 & u0, v1 & u1], axis=1)  # (N, 4)
+    corner_valid = in_b & (g[:, :, 0] > 0.5)
+    g = jnp.where(corner_valid[..., None], g, 0.0)
+    ga = g[:, :, 1:4]
+    gb = g[:, :, 4:7]
+
+    n_blk = jnp.stack([fl_v, fl_v, fl_v + 1.0, fl_v + 1.0], axis=1)
+    m_blk = jnp.stack([fl_u, fl_u + 1.0, fl_u, fl_u + 1.0], axis=1)
+    dn = n_blk - v[:, None]
+    dm = m_blk - u[:, None]
+    wn = jnp.maximum(1.0 - jnp.abs(dn), 0.0)
+    wm = jnp.maximum(1.0 - jnp.abs(dm), 0.0)
+    wc = (wn * wm)[..., None]
+    va = jnp.sum(ga * wc, axis=1)
+    vb = jnp.sum(gb * wc, axis=1)
+    valid = jnp.all(corner_valid, axis=1)
+    if not compute_grad:
+        return va, vb, valid, None, None
+    sgn_n = jnp.where(dn >= 0, 1.0, -1.0)
+    sgn_m = jnp.where(dm >= 0, 1.0, -1.0)
+    wu = (wn * sgn_m)[..., None]
+    wv = (wm * sgn_n)[..., None]
+    grad_a = jnp.stack([jnp.sum(ga * wu, axis=1), jnp.sum(ga * wv, axis=1)],
+                       axis=2)
+    grad_b = jnp.stack([jnp.sum(gb * wu, axis=1), jnp.sum(gb * wv, axis=1)],
+                       axis=2)
+    return va, vb, valid, grad_a, grad_b
+
+
 def bilinear_sample_image(image_fm, v, u):
     """Plain bilinear sampling of a dense (F, H, W) image at float (v, u).
 

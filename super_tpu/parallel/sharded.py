@@ -103,7 +103,8 @@ def track_step_sharded(cfg: SuPerConfig, intr: Intrinsics, num_shards: int,
                        pair_overflow=pair_overflow,
                        proj_overflow=fdiag.proj_overflow,
                        add_overflow=fdiag.add_overflow,
-                       free_exhausted=fdiag.free_exhausted)
+                       free_exhausted=fdiag.free_exhausted,
+                       dup_skipped=fdiag.dup_skipped)
     return new_state, outs
 
 

@@ -127,7 +127,7 @@ class SuPerPipeline:
             self.frame_times.append(_time.perf_counter() - tic)
             if outs is not None:
                 names = ("tuple_overflow", "pair_overflow", "proj_overflow", "add_overflow",
-                         "free_exhausted")
+                         "free_exhausted", "dup_skipped")
                 # One host fetch for all counters (the run loop already
                 # syncs per frame for timing).
                 vals = jax.device_get([getattr(outs, n) for n in names])

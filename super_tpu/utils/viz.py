@@ -44,7 +44,7 @@ class TrackingLogger:
             w.add_scalar("optimization_record/optim_time_per_frame",
                          frame_ms / 1e3, time)
         for name in ("tuple_overflow", "pair_overflow", "proj_overflow", "add_overflow",
-                     "free_exhausted"):
+                     "free_exhausted", "dup_skipped"):
             if hasattr(outs, name):
                 w.add_scalar(f"capacity/{name}", int(getattr(outs, name)),
                              time)

@@ -30,12 +30,23 @@ def test_fusion_proj_map_modes_agree(tracked_state):
     cfg, intr, st = tracked_state
     cfg_sort = cfg.replace(proj_map_mode="sort")
     cfg_scat = cfg.replace(proj_map_mode="scatter")
-    pid_sort, ovf_sort = fusion_mod.build_projection_maps(cfg_sort, intr,
-                                                          st.surfels)
-    pid_scat, ovf_scat = fusion_mod.build_projection_maps(cfg_scat, intr,
-                                                          st.surfels)
+    pid_sort, ovf_sort, pix_sort, lay_sort = fusion_mod.build_projection_maps(
+        cfg_sort, intr, st.surfels)
+    pid_scat, ovf_scat, pix_scat, lay_scat = fusion_mod.build_projection_maps(
+        cfg_scat, intr, st.surfels)
     np.testing.assert_array_equal(np.asarray(pid_scat), np.asarray(pid_sort))
     np.testing.assert_array_equal(np.asarray(ovf_scat), np.asarray(ovf_sort))
+    np.testing.assert_array_equal(np.asarray(pix_scat), np.asarray(pix_sort))
+    np.testing.assert_array_equal(np.asarray(lay_scat), np.asarray(lay_sort))
+    # sf_layer must invert proj_id: surfel pid[l][p] has layer l, pixel p.
+    pid = np.asarray(pid_sort)
+    lay = np.asarray(lay_sort)
+    pix = np.asarray(pix_sort)
+    for l in range(pid.shape[0]):
+        (pp,) = np.where(pid[l] >= 0)
+        ss = pid[l][pp]
+        np.testing.assert_array_equal(lay[ss], l)
+        np.testing.assert_array_equal(pix[ss], pp)
 
 
 def test_overflow_counters_fire_on_undersized_config():
@@ -78,12 +89,13 @@ def test_fusion_proj_map_ties_and_overflow():
     # Stack 4 active surfels on one pixel's ray: ids 0..3, equal depth.
     p0 = s.points[:, 5]
     pts = s.points.at[:, 0:4].set(jnp.broadcast_to(p0[:, None], (3, 4)))
-    confs = s.confs.at[0:4].set(jnp.asarray([1.0, 2.0, 2.0, 0.5]))
+    confs = s.confs.at[0:4].set(jnp.asarray([1.0, 2.0, 2.0, 0.5],
+                                            s.confs.dtype))
     active = jnp.zeros_like(s.active).at[0:4].set(True)
     s = s._replace(points=pts, confs=confs, active=active)
 
     for mode in ("sort", "scatter"):
-        pid, ovf = fusion_mod.build_projection_maps(
+        pid, ovf, _, _ = fusion_mod.build_projection_maps(
             cfg.replace(proj_map_mode=mode), intr, s)
         pid = np.asarray(pid)
         ovf = np.asarray(ovf)
