@@ -172,20 +172,37 @@ def main():
         fn, fargs, probe = stages[name]
         t0 = time.perf_counter()
         if args.amortize:
-            if probe is None:
-                probe = lambda o: jnp.ravel(jax.tree.leaves(o)[0])[0]
+            # The probe must consume EVERY output, or XLA dead-code
+            # eliminates whole stages (e.g. probing only lm_cost of a
+            # track_step erases fusion -- measured 193 "ms" vs the real
+            # 297).  Full sums cost ~0.1 ms of bandwidth; honesty is
+            # cheaper than the lie.
+            def probe(o, _p=probe):
+                acc = jnp.float32(0)
+                for a in jax.tree.leaves(o):
+                    if hasattr(a, "dtype"):
+                        acc = acc + jnp.sum(a).astype(jnp.float32)
+                return acc
 
             def inject(tree, d):
-                leaves, treedef = jax.tree.flatten(tree)
-                done = False
-                outl = []
-                for a in leaves:
-                    if not done and hasattr(a, "dtype") and \
-                            jnp.issubdtype(a.dtype, jnp.floating):
-                        a = a + d.astype(a.dtype) * 0
-                        done = True
-                    outl.append(a)
-                return jax.tree.unflatten(treedef, outl)
+                # Perturb EVERY leaf by a zero that depends on the loop
+                # counter: otherwise XLA hoists any computation not
+                # data-dependent on the perturbed leaf out of the timing
+                # loop (e.g. the tuple-layout build depends only on int
+                # knn_idx / bool active and was silently hoisted).
+                zi = (d.astype(jnp.int32) * 0)
+
+                def bump(a):
+                    if not hasattr(a, "dtype"):
+                        return a
+                    if jnp.issubdtype(a.dtype, jnp.floating):
+                        return a + d.astype(a.dtype) * 0
+                    if a.dtype == jnp.bool_:
+                        return a ^ (zi != 0)
+                    if jnp.issubdtype(a.dtype, jnp.integer):
+                        return a + zi.astype(a.dtype)
+                    return a
+                return jax.tree.map(bump, tree)
 
             def make_fn(acc, _fn=fn, _fargs=fargs, _probe=probe):
                 new_args = [inject(a, acc) for a in _fargs]

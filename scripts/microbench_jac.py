@@ -1,0 +1,120 @@
+#!/usr/bin/env python
+"""Microbenchmark: frozen-association jacobian chunk, row-major vs
+feature-major.
+
+Hypothesis: the (C, K, 3)/(C, K, 7) row-major chunk math pads its last two
+dims to (8, 128) TPU tiles at every materialization boundary (85x waste for
+(4, 3) trailing dims), and that -- not FLOPs or bandwidth -- is the ~7 ms
+per LM iteration.  The feature-major variant keeps the surfel dim LAST
+everywhere ((3, C), (7, C) slices, K unrolled in Python) so every buffer is
+lane-aligned.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys, os
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=393216)
+    ap.add_argument("--k", type=int, default=4)
+    ap.add_argument("--g", type=int, default=32)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--check", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    from super_tpu.utils.profiling import loop_time
+
+    n, k, g = args.n, args.k, args.g
+    nb = n // g
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 8)
+    diff_fm = jax.random.normal(ks[0], (k * 3, n), jnp.float32)
+    knn_fm = jax.random.normal(ks[1], (k * 3, n), jnp.float32)
+    w_fm = jax.nn.softmax(jax.random.normal(ks[2], (k, n), jnp.float32), 0)
+    o_fm = jax.random.normal(ks[3], (3, n), jnp.float32)
+    nrm_fm = jax.random.normal(ks[4], (3, n), jnp.float32)
+    beta_k_rm = jax.random.normal(ks[5], (n, k, 7), jnp.float32) * 0.1
+    beta_fm = jnp.moveaxis(beta_k_rm, 0, -1)  # (K, 7, N)
+    mask = jnp.ones((n,), bool)
+
+    def gram_rm(h, r):
+        hb = h.reshape(nb, g, 28)
+        ext = jnp.concatenate([hb, r.reshape(nb, g, 1)], axis=-1)
+        return jnp.einsum("bgi,bgj->bij", hb, ext)
+
+    # ---- row-major: the current production path --------------------------
+    from super_tpu.core.losses import DataChunk, frozen_chunk_jacobian
+
+    cv = DataChunk(mask=mask, knn_idx=jnp.zeros((n, k), jnp.int32),
+                   knn_w=w_fm.T, knn=knn_fm.T.reshape(n, k, 3),
+                   diff=diff_fm.T.reshape(n, k, 3))
+
+    def rm(d):
+        r, gk, _ = frozen_chunk_jacobian(
+            cv._replace(diff=cv.diff + d), o_fm, nrm_fm, mask,
+            beta_k_rm, 1.0)
+        return gram_rm(gk.reshape(n, 28), r)
+
+    # ---- feature-major: K unrolled, surfel dim last ----------------------
+    def fm(d):
+        diff = diff_fm + d
+        tp_acc = 0.0
+        rows = []
+        for a in range(k):
+            v = diff[3 * a:3 * a + 3]                      # (3, N)
+            ga = knn_fm[3 * a:3 * a + 3]
+            qw = beta_fm[a, 0]                             # (N,)
+            qv = beta_fm[a, 1:4]                           # (3, N)
+            b = beta_fm[a, 4:7]
+            wa = w_fm[a]                                   # (N,)
+
+            def cross(x, y):
+                return jnp.stack([x[1] * y[2] - x[2] * y[1],
+                                  x[2] * y[0] - x[0] * y[2],
+                                  x[0] * y[1] - x[1] * y[0]])
+            c = cross(qv, v)
+            tv = v + 2.0 * qw[None] * c + 2.0 * cross(qv, c) + b
+            tp_acc = tp_acc + wa[None] * (tv + ga)
+            # n^T dT/dq rows (direct form, matches frozen_chunk_jacobian):
+            #   dqw = 2 n.(qv x v)
+            #   dqv = 2 [(qv.v) n + (n.qv) v - 2 (n.v) qv - qw (n x v)]
+            ndq_w = 2.0 * jnp.sum(nrm_fm * c, 0)           # (N,)
+            qv_dot_v = jnp.sum(qv * v, 0)
+            n_dot_qv = jnp.sum(nrm_fm * qv, 0)
+            n_dot_v = jnp.sum(nrm_fm * v, 0)
+            nxv = cross(nrm_fm, v)
+            ndq_v = 2.0 * (qv_dot_v[None] * nrm_fm + n_dot_qv[None] * v
+                           - 2.0 * n_dot_v[None] * qv - qw[None] * nxv)
+            rows.append(wa[None] * jnp.concatenate(
+                [ndq_w[None], ndq_v, jnp.broadcast_to(nrm_fm, (3, n))],
+                axis=0))                                   # (7, N)
+        r = jnp.sum(nrm_fm * (tp_acc - o_fm), 0)           # (N,)
+        h = jnp.concatenate(rows, axis=0)                  # (28, N)
+        hb = h.reshape(28, nb, g)
+        ext = jnp.concatenate([hb, r.reshape(1, nb, g)], axis=0)
+        return jnp.einsum("ing,jng->nij", hb, ext)
+
+    if args.check:
+        a = jax.jit(rm)(jnp.float32(0.0))
+        bmat = jax.jit(fm)(jnp.float32(0.0))
+        import numpy as np
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bmat),
+                                   rtol=2e-3, atol=2e-3)
+        print("values agree")
+
+    for name, f in (("rm", rm), ("fm", fm)):
+        v = loop_time(lambda x, _f=f: _f(x * 0.0)[0, 0, 0], 0.0)
+        print(f"{name}: {v:.3f} ms", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -40,7 +40,11 @@ from super_tpu.geometry.quaternion import (
     transform_quat_t,
     transform_quat_t_jac,
 )
-from super_tpu.ops.bilinear import bilinear_sample_bank, build_corner_bank
+from super_tpu.ops.bilinear import (
+    bilinear_sample_bank,
+    bilinear_sample_bank_fm,
+    build_corner_bank,
+)
 
 
 class LMContext(NamedTuple):
@@ -233,9 +237,34 @@ class Assoc(NamedTuple):
     mask: jnp.ndarray   # (Np,) association validity
 
 
+def _blend_warp_fm(xs_elem, beta_kfm):
+    """Feature-major blended warp of one chunk: (3, C) warped points.
+
+    ``beta_kfm=None`` means the identity warp, where the blend collapses to
+    ``sum_k w_k (diff_k + g_k)`` (the surfel point itself under normalized
+    weights) -- no quaternion math at all.
+    """
+    _, _, w_fm, knn_fm, diff_fm = xs_elem[:5]
+    k = w_fm.shape[0]
+    tp = 0.0
+    for a in range(k):
+        v = diff_fm[3 * a:3 * a + 3]
+        ga = knn_fm[3 * a:3 * a + 3]
+        if beta_kfm is None:
+            tv = v
+        else:
+            qw = beta_kfm[a, 0][None]
+            qv = beta_kfm[a, 1:4]
+            c = _cross_fm(qv, v)
+            tv = v + 2.0 * qw * c + 2.0 * _cross_fm(qv, c) + beta_kfm[a, 4:7]
+        tp = tp + w_fm[a][None] * (tv + ga)
+    return tp
+
+
 def associate(cfg: SuPerConfig, ctx: LMContext, beta, intr: Intrinsics,
               identity: bool = False) -> Assoc:
-    """One projective-association pass at the given beta (chunk-streamed).
+    """One projective-association pass at the given beta (chunk-streamed,
+    feature-major end to end).
 
     ``identity=True`` skips the warp math entirely: at the identity warp
     the blended transform returns the surfel point itself
@@ -245,20 +274,26 @@ def associate(cfg: SuPerConfig, ctx: LMContext, beta, intr: Intrinsics,
     xs, nc = _chunk_xs(ctx, chunk)
     beta_t = (beta[ctx.layout.tuple_nodes] if ctx.layout is not None
               and not identity else None)
+    h, w = cfg.height, cfg.width
+    p = ctx.trg_points.shape[-1]
 
     def one(xs_elem):
-        cv = _chunk_view(xs_elem)
         if identity:
-            tp = jnp.sum(cv.knn_w[..., None] * (cv.diff + cv.knn), axis=-2)
-        else:
-            beta_k = _beta_k_of(ctx, beta_t, xs_elem)
-            if beta_k is None:
-                beta_k = beta[cv.knn_idx]
-            tp = transform_quat_t(cv.diff, beta_k)
-            tp = jnp.sum(cv.knn_w[..., None] * (tp + cv.knn), axis=-2)
-        o, n, _, _, mask = _project_and_sample(cfg, ctx, cv, tp, intr,
-                                               grad=False)
-        return o.T, n.T, mask  # (3, C), (3, C), (C,)
+            tp = _blend_warp_fm(xs_elem, None)
+        elif beta_t is not None:
+            tp = _blend_warp_fm(xs_elem, _beta_fm_of(beta_t, xs_elem))
+        else:  # scatter-mode fallback: per-surfel gather, row-major math
+            cv = _chunk_view(xs_elem)
+            tpr = transform_quat_t(cv.diff, beta[cv.knn_idx])
+            tp = jnp.sum(cv.knn_w[..., None] * (tpr + cv.knn), axis=-2).T
+        v, u, coords, proj_valid = project_points(tp, intr, h, w)
+        coords_c = jnp.clip(coords, 0, p - 1)
+        pair_valid = (coords >= 0) & (coords < p) & \
+            (ctx.trg_index_map.reshape(-1)[coords_c] >= 0)
+        o, n, svalid = bilinear_sample_bank_fm(ctx.trg_corner_bank, h, w,
+                                               v, u)
+        mask = xs_elem[0] & pair_valid & proj_valid & svalid
+        return o, n, mask  # (3, C), (3, C), (C,)
 
     if nc == 1:
         o, n, m = one(jax.tree.map(lambda a: a[0], xs))
@@ -291,6 +326,154 @@ def frozen_chunk_residual(chunk: DataChunk, o_fm, n_fm, amask, beta_k,
     mask = chunk.mask & amask
     r = weight * jnp.sum(n_fm.T * (tp - o_fm.T), axis=-1)
     return jnp.where(mask, r, 0.0), mask
+
+
+def _cross_fm(x, y):
+    """Cross product of feature-major (3, N) vectors."""
+    return jnp.stack([x[1] * y[2] - x[2] * y[1],
+                      x[2] * y[0] - x[0] * y[2],
+                      x[0] * y[1] - x[1] * y[0]])
+
+
+def _beta_fm_of(beta_t, xs_elem):
+    """Tuple-broadcast anchor parameters, feature-major: (K, 7, C).
+
+    Same values as :func:`_beta_k_of` (G-blocks are tuple-pure), laid out
+    with the surfel dim LAST so the frozen-jacobian math stays lane-aligned.
+    """
+    bt_c = xs_elem[5]                      # (C / G,)
+    bb = beta_t[bt_c]                      # (B, K, 7)
+    b_, k = bb.shape[0], bb.shape[1]
+    g = xs_elem[0].shape[-1] // b_
+    return jnp.broadcast_to(jnp.transpose(bb, (1, 2, 0))[..., None],
+                            (k, 7, b_, g)).reshape(k, 7, b_ * g)
+
+
+def frozen_chunk_partial_fm(xs_elem, o_fm, n_fm, amask, beta_kfm,
+                            weight: float, g_per: int):
+    """Feature-major frozen jacobian -> per-G-block partial Grams.
+
+    Value-identical (modulo fp reassociation) to frozen_chunk_jacobian +
+    the (C, 28) gram einsum, but every buffer keeps the surfel dim LAST:
+    the row-major (C, K, 3)/(C, K, 7) intermediates pad their trailing
+    dims to (8, 128) TPU tiles at materialization boundaries (~85x), which
+    costs ~40% of the pass (scripts/microbench_jac.py: 3.7 -> 2.2 ms at
+    480p).  K is unrolled in Python (static, = 4).
+
+    Returns (partial (C/G, 28*29), sum(r^2)).
+    """
+    mask_c, _, w_fm, knn_fm, diff_fm = xs_elem[:5]
+    cdim = mask_c.shape[-1]
+    k = w_fm.shape[0]
+    rows = []
+    tp_acc = 0.0
+    for a in range(k):
+        v = diff_fm[3 * a:3 * a + 3]                   # (3, C)
+        ga = knn_fm[3 * a:3 * a + 3]
+        qw = beta_kfm[a, 0][None]                      # (1, C)
+        qv = beta_kfm[a, 1:4]
+        b = beta_kfm[a, 4:7]
+        wa = w_fm[a][None]
+        c = _cross_fm(qv, v)
+        tv = v + 2.0 * qw * c + 2.0 * _cross_fm(qv, c) + b
+        tp_acc = tp_acc + wa * (tv + ga)
+        # n^T dT/dq rows (same identities as frozen_chunk_jacobian).
+        ndq_w = 2.0 * jnp.sum(n_fm * c, 0, keepdims=True)
+        qv_v = jnp.sum(qv * v, 0, keepdims=True)
+        n_qv = jnp.sum(n_fm * qv, 0, keepdims=True)
+        n_v = jnp.sum(n_fm * v, 0, keepdims=True)
+        nxv = _cross_fm(n_fm, v)
+        ndq_v = 2.0 * (qv_v * n_fm + n_qv * v - 2.0 * n_v * qv - qw * nxv)
+        rows.append(wa * jnp.concatenate(
+            [ndq_w, ndq_v, jnp.broadcast_to(n_fm, (3, cdim))], axis=0))
+    mask = mask_c & amask
+    r = weight * jnp.sum(n_fm * (tp_acc - o_fm), 0)
+    r = jnp.where(mask, r, 0.0)
+    h = jnp.where(mask[None], weight * jnp.concatenate(rows, axis=0), 0.0)
+    nb = cdim // g_per
+    hb = h.reshape(28, nb, g_per)
+    ext = jnp.concatenate([hb, r.reshape(1, nb, g_per)], axis=0)
+    part = jnp.einsum("ing,jng->nij", hb, ext)         # (nb, 28, 29)
+    return part.reshape(nb, 28 * 29), jnp.sum(r * r)
+
+
+def _project_sample_fm(cfg, ctx, tp, xs_elem, intr, grad: bool):
+    """Project (3, C) warped points + sample the corner bank, feature-major.
+
+    Returns (o, n, mask[, go_u, go_v, gn_u, gn_v]) -- all (3, C) / (C,).
+    """
+    h, w = cfg.height, cfg.width
+    p = ctx.trg_points.shape[-1]
+    v, u, coords, proj_valid = project_points(tp, intr, h, w)
+    coords_c = jnp.clip(coords, 0, p - 1)
+    pair_valid = (coords >= 0) & (coords < p) & \
+        (ctx.trg_index_map.reshape(-1)[coords_c] >= 0)
+    out = bilinear_sample_bank_fm(ctx.trg_corner_bank, h, w, v, u,
+                                  compute_grad=grad)
+    mask = xs_elem[0] & pair_valid & proj_valid & out[2]
+    return (out[0], out[1], mask) + out[3:]
+
+
+def moving_chunk_partial_fm(cfg, ctx, xs_elem, beta_kfm, intr,
+                            weight: float, g_per: int):
+    """Feature-major per-iteration (moving-target) jacobian -> partial
+    Grams.
+
+    The full chain of data_chunk_jacobian collapses algebraically: with
+    dpdt = dpdpi dpi and dndt = dndpi dpi,
+
+      g_k = n^T (jac_k - dpdt jac_k) + (tp-o)^T dndt jac_k  [+ b-columns]
+          = m^T jac_k,   m := n + dpi^T [(tp-o)@dndpi - n@dpdpi]
+
+    so the moving-target gradient rows are the FROZEN-association identity
+    rows evaluated with the effective normal ``m`` (b-columns w_k m), and
+    the whole pass stays lane-aligned feature-major.  Value-identical to
+    data_chunk_jacobian + the gram einsum modulo fp reassociation
+    (tests/test_lm.py autodiff cross-checks).
+
+    Returns (partial (C/G, 28*29), sum(r^2)).
+    """
+    mask_c, _, w_fm, knn_fm, diff_fm = xs_elem[:5]
+    cdim = mask_c.shape[-1]
+    k = w_fm.shape[0]
+    tp = _blend_warp_fm(xs_elem, beta_kfm)
+    o, n, mask, go_u, go_v, gn_u, gn_v = _project_sample_fm(
+        cfg, ctx, tp, xs_elem, intr, grad=True)
+    d = tp - o
+    # dpi^T y for y = [(d . gn) - (n . go)] over the two image axes.
+    y0 = jnp.sum(d * gn_u, 0) - jnp.sum(n * go_u, 0)
+    y1 = jnp.sum(d * gn_v, 0) - jnp.sum(n * go_v, 0)
+    z = tp[2] + 1e-8
+    m = jnp.stack([
+        n[0] + intr.fx / z * y0,
+        n[1] + intr.fy / z * y1,
+        n[2] - intr.fx * tp[0] / (z * z) * y0
+            - intr.fy * tp[1] / (z * z) * y1,
+    ])
+    r = weight * jnp.sum(n * d, 0)
+    r = jnp.where(mask, r, 0.0)
+
+    rows = []
+    for a in range(k):
+        v = diff_fm[3 * a:3 * a + 3]
+        qw = beta_kfm[a, 0][None]
+        qv = beta_kfm[a, 1:4]
+        wa = w_fm[a][None]
+        c = _cross_fm(qv, v)
+        ndq_w = 2.0 * jnp.sum(m * c, 0, keepdims=True)
+        qv_v = jnp.sum(qv * v, 0, keepdims=True)
+        m_qv = jnp.sum(m * qv, 0, keepdims=True)
+        m_v = jnp.sum(m * v, 0, keepdims=True)
+        nxv = _cross_fm(m, v)
+        ndq_v = 2.0 * (qv_v * m + m_qv * v - 2.0 * m_v * qv - qw * nxv)
+        rows.append(wa * jnp.concatenate([ndq_w, ndq_v, m], axis=0))
+    h_rows = jnp.where(mask[None],
+                       weight * jnp.concatenate(rows, axis=0), 0.0)
+    nb = cdim // g_per
+    hb = h_rows.reshape(28, nb, g_per)
+    ext = jnp.concatenate([hb, r.reshape(1, nb, g_per)], axis=0)
+    part = jnp.einsum("ing,jng->nij", hb, ext)
+    return part.reshape(nb, 28 * 29), jnp.sum(r * r)
 
 
 def frozen_chunk_jacobian(chunk: DataChunk, o_fm, n_fm, amask, beta_k,
@@ -395,10 +578,20 @@ def data_chunk_jacobian(cfg: SuPerConfig, ctx: LMContext, chunk: DataChunk,
 
 
 def _residual_of(cfg, ctx, beta, beta_t, intr, weight, xs_elem, assoc_elem):
+    if beta_t is not None:
+        # Tuple layout: lane-aligned feature-major residual passes.
+        beta_kfm = _beta_fm_of(beta_t, xs_elem)
+        tp = _blend_warp_fm(xs_elem, beta_kfm)
+        if assoc_elem is None:
+            o, n, mask = _project_sample_fm(cfg, ctx, tp, xs_elem, intr,
+                                            grad=False)
+        else:
+            o, n, am = assoc_elem
+            mask = xs_elem[0] & am
+        r = weight * jnp.sum(n * (tp - o), 0)
+        return jnp.where(mask, r, 0.0), mask
     cv = _chunk_view(xs_elem)
-    beta_k = _beta_k_of(ctx, beta_t, xs_elem)
-    if beta_k is None:
-        beta_k = beta[cv.knn_idx]
+    beta_k = beta[cv.knn_idx]
     if assoc_elem is None:
         return data_chunk_residual(cfg, ctx, cv, beta_k, intr, weight)
     o, n, am = assoc_elem
@@ -599,14 +792,16 @@ def _data_normal_eq_tuple(cfg, ctx, beta, intr, weight, jtj, jtr,
         return jj, jr, cost
 
     def jac_chunk(xs_elem, assoc_elem):
-        r, g, _ = _jacobian_of(cfg, ctx, beta, beta_t, intr, weight,
-                               xs_elem, assoc_elem)
-        h = g.reshape(g.shape[0], -1)  # (C, 28)
-        nb = h.shape[0] // g_per
-        hb = h.reshape(nb, g_per, 28)
-        ext = jnp.concatenate([hb, r.reshape(nb, g_per, 1)], axis=-1)
-        part = jnp.einsum("bgi,bgj->bij", hb, ext).reshape(nb, 28 * 29)
-        return part, jnp.sum(r * r)
+        # Lane-aligned feature-major passes (the row-major (C, K, ...)
+        # chunk views pad trailing dims to (8, 128) TPU tiles at every
+        # materialization boundary -- ~40% of the pass).
+        beta_kfm = _beta_fm_of(beta_t, xs_elem)
+        if assoc_elem is not None:  # frozen association
+            o, n, am = assoc_elem
+            return frozen_chunk_partial_fm(xs_elem, o, n, am, beta_kfm,
+                                           weight, g_per)
+        return moving_chunk_partial_fm(cfg, ctx, xs_elem, beta_kfm, intr,
+                                       weight, g_per)
 
     if sol.assembly_backend == "pallas" and beta.dtype == jnp.float32:
         # Fused Pallas path: compute (r, h) per chunk, then one kernel does

@@ -215,6 +215,62 @@ def bilinear_sample_bank(bank, h: int, w: int, v, u, *, compute_grad=False):
     return va, vb, valid, grad_a, grad_b
 
 
+def bilinear_sample_bank_fm(bank, h: int, w: int, v, u, *,
+                            compute_grad=False):
+    """Feature-major corner-bank sampling: values returned as (3, N).
+
+    Same values/validity as :func:`bilinear_sample_bank` at every VALID
+    query (invalid queries are don't-cares, masked by all callers), but the
+    gathered block stays (28, N) -- no row-major (N, 4, 7) intermediate
+    whose (4, 7) trailing dims pad to (8, 128) TPU tiles.
+    Returns (values_a (3, N), values_b (3, N), valid (N,)) and, with
+    ``compute_grad``, additionally (da_du, da_dv, db_du, db_dv), each
+    (3, N) -- the same STN gradients as bilinear_sample_bank, transposed.
+    """
+    fl_v = jnp.floor(v)
+    fl_u = jnp.floor(u)
+    vi = fl_v.astype(jnp.int32)
+    ui = fl_u.astype(jnp.int32)
+    flat = jnp.clip(vi, 0, h - 1) * w + jnp.clip(ui, 0, w - 1)
+    g = jnp.take(bank, flat, axis=-1)                   # (28, N)
+
+    dn = (fl_v - v, fl_v + 1.0 - v)   # (-1, 0], (0, 1]
+    dm = (fl_u - u, fl_u + 1.0 - u)
+    wn = tuple(jnp.maximum(1.0 - jnp.abs(x), 0.0) for x in dn)
+    wm = tuple(jnp.maximum(1.0 - jnp.abs(x), 0.0) for x in dm)
+    # Corner order (n, m): (0,0), (0,1), (1,0), (1,1).
+    nm = ((0, 0), (0, 1), (1, 0), (1, 1))
+
+    va = 0.0
+    vb = 0.0
+    ok = (vi >= 0) & (vi + 1 < h) & (ui >= 0) & (ui + 1 < w)
+    if compute_grad:
+        # sign(+0) = +1, the reference's convention (see
+        # bilinear_sample_indexed).
+        sn = tuple(jnp.where(x >= 0, 1.0, -1.0) for x in dn)
+        sm = tuple(jnp.where(x >= 0, 1.0, -1.0) for x in dm)
+        ga_u = 0.0
+        ga_v = 0.0
+        gb_u = 0.0
+        gb_v = 0.0
+    for j, (jn, jm) in enumerate(nm):
+        blk = g[7 * j:7 * j + 7]
+        ok = ok & (blk[0] > 0.5)
+        wc = (wn[jn] * wm[jm])[None]
+        va = va + wc * blk[1:4]
+        vb = vb + wc * blk[4:7]
+        if compute_grad:
+            wu = (wn[jn] * sm[jm])[None]
+            wv = (wm[jm] * sn[jn])[None]
+            ga_u = ga_u + wu * blk[1:4]
+            ga_v = ga_v + wv * blk[1:4]
+            gb_u = gb_u + wu * blk[4:7]
+            gb_v = gb_v + wv * blk[4:7]
+    if not compute_grad:
+        return va, vb, ok
+    return va, vb, ok, ga_u, ga_v, gb_u, gb_v
+
+
 def bilinear_sample_image(image_fm, v, u):
     """Plain bilinear sampling of a dense (F, H, W) image at float (v, u).
 

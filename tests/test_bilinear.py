@@ -71,3 +71,19 @@ def test_bank_matches_two(setup, grad):
                                        np.asarray(rb[i])[sel], atol=1e-6)
     else:
         assert rb[3] is None and rb[4] is None
+
+
+def test_bank_fm_matches_bank(setup):
+    from super_tpu.ops.bilinear import bilinear_sample_bank_fm
+
+    h, w, points, norms, index_map, v, u = setup
+    bank = build_corner_bank(points, norms, index_map)
+    ra = bilinear_sample_bank(bank, h, w, v, u)
+    va, vb, ok = bilinear_sample_bank_fm(bank, h, w, v, u)
+    np.testing.assert_array_equal(np.asarray(ra[2]), np.asarray(ok))
+    sel = np.asarray(ok)
+    assert sel.sum() > 50
+    np.testing.assert_allclose(np.asarray(ra[0])[sel],
+                               np.asarray(va.T)[sel], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ra[1])[sel],
+                               np.asarray(vb.T)[sel], atol=1e-6)

@@ -107,3 +107,45 @@ def test_fusion_proj_map_ties_and_overflow():
         assert pid[0][coord] == 1, mode
         assert pid[1][coord] == 2, mode
         assert ovf[0] and ovf[3] and not ovf[1] and not ovf[2], mode
+
+
+def test_duplicate_clique_merge_exact():
+    """Stacked near-identical surfels on one pixel must merge layer-by-layer
+    into the layer-0 surfel (conf-weighted, confidences summed), with the
+    absorbed slots deactivated and remapped -- the sequential pair-walk
+    semantics of nodes.py:425-460 reproduced by the clique pass."""
+    import jax
+
+    cfg, intr, seq, frames = tiny_scene(num_frames=1, h=24, w=32, step=8)
+    st = init_tracker(cfg, frames[0])
+    s = st.surfels
+    p0 = s.points[:, 5]
+    # Three coincident surfels (ids 0,1,2) + one distant-normal outlier (3).
+    pts = s.points.at[:, 0:4].set(jnp.broadcast_to(p0[:, None], (3, 4)))
+    nrm = jnp.zeros((3, 4), s.norms.dtype).at[2].set(1.0)
+    nrm = nrm.at[:, 3].set(jnp.asarray([1.0, 0.0, 0.0], s.norms.dtype))
+    norms = s.norms.at[:, 0:4].set(nrm)
+    confs = s.confs.at[0:4].set(
+        jnp.asarray([4.0, 2.0, 1.0, 0.5], s.confs.dtype))
+    active = jnp.zeros_like(s.active).at[0:4].set(True)
+    s = s._replace(points=pts, norms=norms, confs=confs, active=active)
+
+    # Disable every other stage so only the duplicate merge acts; the frame
+    # is made all-invalid so no candidates interfere.
+    fr = frames[0]._replace(valid=jnp.zeros_like(frames[0].valid))
+    surfels2, remap, diag = jax.jit(
+        lambda s_, f: fusion_mod.fuse_frame(cfg, intr, s_, st.graph, f)
+    )(s, fr)
+
+    # Layer order by conf: 0 (4.0) layer0, 1 (2.0) layer1, 2 (1.0) layer2,
+    # 3 (0.5) layer3.  Pairs: (0,1) merge, (0,2) merge, (0,3) gated out by
+    # normals; (1,*), (2,*) skipped (absorbed).
+    active2 = np.asarray(surfels2.active)
+    assert active2[0] and not active2[1] and not active2[2] and active2[3]
+    remap = np.asarray(remap)
+    assert remap[1] == 0 and remap[2] == 0 and remap[3] == 3
+    # Confidences accumulate sequentially: 4+2=6, then 6+1=7.
+    np.testing.assert_allclose(float(surfels2.confs[0]), 7.0, rtol=1e-6)
+    # Merged position stays the common point.
+    np.testing.assert_allclose(np.asarray(surfels2.points[:, 0]),
+                               np.asarray(p0), atol=1e-5)
