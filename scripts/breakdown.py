@@ -104,6 +104,12 @@ def main():
     reg("lm_hyp2", jax.jit(lambda c: lm_solve(sched_cfg(lm_hypotheses=2),
                                               c, intr)),
         ctx, probe=lambda r: r.cost)
+    for it in (8, 16, 32):
+        reg(f"lm_pcg{it}",
+            jax.jit(lambda c, _it=it: lm_solve(
+                sched_cfg(linear_solver="pcg", pcg_iterations=_it),
+                c, intr)),
+            ctx, probe=lambda r: r.cost)
     # One-iteration variants: slope vs the 10-iteration numbers isolates
     # the per-iteration cost from the fixed prologue (assoc pass etc.).
     reg("lm_defer1",

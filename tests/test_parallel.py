@@ -78,6 +78,50 @@ def test_sharded_normal_equations_exact(scene, mode):
     np.testing.assert_allclose(float(cost_s), float(cost_ref), rtol=1e-5)
 
 
+def test_sharded_lm_solve_matches_single_mid_deformation(scene):
+    """Deterministic equivalence of the full LM solve on a genuinely
+    deformed frame: the sharded (psum-reduced) solve must reproduce the
+    single-device trajectory step for step.  This checks the *solver*
+    semantics under sharding (accept/reject decisions, damping schedule,
+    final beta) before fusion's slot allocation can amplify fp noise --
+    the reduction order differs across shards, so tolerances are f32-sized
+    but the trajectory must not bifurcate."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from super_tpu.parallel.sharded import shard_ctx
+
+    cfg, intr, seq, frames = scene
+    state = init_tracker(cfg, frames[0])
+    # frames[2] carries real accumulated deformation relative to frame 0:
+    # the solve is well-determined (non-trivial cost), unlike frame 1.
+    ctx = prepare_lm(cfg, state.surfels, state.graph, frames[2])
+
+    res_ref = jax.jit(lambda c: lm_solve(cfg, c, intr))(ctx)
+    # Genuinely mid-deformation: the solve moved the warp field away from
+    # identity (translations of active nodes are non-trivial).
+    trans = np.asarray(res_ref.beta[:, 4:])
+    assert np.abs(trans).max() > 1e-4, trans
+
+    mesh = make_mesh(num_streams=1, num_shards=8)
+
+    def local(c):
+        c = shard_ctx(c, "shard", 8)
+        return lm_solve(cfg, c, intr, axis_name="shard")
+
+    res_sh = jax.jit(shard_map(local, mesh=mesh, in_specs=(P(),),
+                               out_specs=P(), check_rep=False))(ctx)
+
+    np.testing.assert_allclose(float(res_sh.cost), float(res_ref.cost),
+                               rtol=1e-3)
+    # Same damping endpoint == same accept/reject sequence.
+    np.testing.assert_allclose(float(res_sh.final_damping),
+                               float(res_ref.final_damping), rtol=1e-6)
+    scale = float(jnp.max(jnp.abs(res_ref.beta)))
+    np.testing.assert_allclose(np.asarray(res_sh.beta) / scale,
+                               np.asarray(res_ref.beta) / scale, atol=5e-3)
+
+
 def test_multichip_step_matches_single(scene):
     """Full sharded step vs single-device batched step: aggregate state
     statistics agree (slot-exact equality is chaotic -- the near-zero-cost
