@@ -86,6 +86,13 @@ def main():
             # tuples, and the 7J Cholesky loses to block-Jacobi PCG.
             solver_kw.update(assembly_tuple_cap=8 * node_cap,
                              linear_solver="pcg", jtj_dtype="bf16")
+        elif association == "per_frame":
+            # Frozen association tolerates the inexact-Newton solve: the
+            # pair-sparse fused-CG kernel (warm-started, 32 iterations)
+            # matches Cholesky accuracy at ~1/3 the per-iteration cost.
+            # per_iteration keeps the exact Cholesky (reference-fidelity
+            # trajectories are solve-tolerance-sensitive there).
+            solver_kw.update(linear_solver="pairs_fused", pcg_iterations=32)
         return cfg.replace(solver=dataclasses.replace(cfg.solver,
                                                       **solver_kw))
 

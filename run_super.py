@@ -28,6 +28,13 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--width", type=int, default=640)
     p.add_argument("--mesh_step_size", type=int, default=30)
     p.add_argument("--num_optimize_iterations", type=int, default=10)
+    p.add_argument("--association", default=None,
+                   choices=["per_iteration", "per_frame"],
+                   help="point-plane data association (default: config "
+                        "default, per_iteration = reference semantics)")
+    p.add_argument("--linear_solver", default=None,
+                   choices=["cholesky", "pcg", "pcg_pallas", "pairs_fused"])
+    p.add_argument("--pcg_iterations", type=int, default=None)
     p.add_argument("--method", default="super",
                    choices=["super", "semantic-super"])
     p.add_argument("--data", default="superv1", choices=["superv1", "superv2"])
@@ -150,6 +157,12 @@ def main(argv=None) -> int:
     if node_cap > 512:  # dense ED graph: scale tuple capacity, use PCG
         solver_kw.update(assembly_tuple_cap=8 * node_cap,
                          linear_solver="pcg", jtj_dtype="bf16")
+    if args.association:
+        solver_kw.update(association=args.association)
+    if args.linear_solver:
+        solver_kw.update(linear_solver=args.linear_solver)
+    if args.pcg_iterations:
+        solver_kw.update(pcg_iterations=args.pcg_iterations)
     cfg = cfg.replace(solver=dataclasses.replace(cfg.solver, **solver_kw))
 
     if cfg.losses.sf_corr and args.use_derived_gradient:

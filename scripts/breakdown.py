@@ -24,7 +24,10 @@ def main():
     ap.add_argument("--height", type=int, default=480)
     ap.add_argument("--width", type=int, default=640)
     ap.add_argument("--mesh_step_size", type=int, default=30)
-    ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--reps", type=int, default=None,
+                    help="default 5 (chain mode) / 40 (--amortize: the "
+                         "~22 ms tunnel dispatch divides by reps, so small "
+                         "stages need many trips for an honest number)")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--association", default="per_frame")
     ap.add_argument("--stages", default="prepare,lm_deferred,lm_classic,"
@@ -33,6 +36,8 @@ def main():
                     help="time each stage inside one compiled fori_loop "
                          "(amortizes the tunnel dispatch floor entirely)")
     args = ap.parse_args()
+    if args.reps is None:
+        args.reps = 40 if args.amortize else 5
 
     import jax
     if args.cpu:
@@ -110,11 +115,39 @@ def main():
                 sched_cfg(linear_solver="pcg", pcg_iterations=_it),
                 c, intr)),
             ctx, probe=lambda r: r.cost)
+    for it in (16, 32, 48):
+        c_sp = sched_cfg(linear_solver="pairs_fused", pcg_iterations=it)
+        ctx_sp = jax.jit(lambda s, _c=c_sp: prepare_lm(
+            _c, s.surfels, s.graph, frames[1]))(state0)
+        reg(f"lm_pairs{it}",
+            jax.jit(lambda c, _c=c_sp: lm_solve(_c, c, intr)),
+            ctx_sp, probe=lambda r: r.cost)
+    for it in (16, 32, 64):
+        reg(f"lm_fcg{it}",
+            jax.jit(lambda c, _it=it: lm_solve(
+                sched_cfg(linear_solver="pcg_pallas", pcg_iterations=_it),
+                c, intr)),
+            ctx, probe=lambda r: r.cost)
     # One-iteration variants: slope vs the 10-iteration numbers isolates
     # the per-iteration cost from the fixed prologue (assoc pass etc.).
     reg("lm_defer1",
         jax.jit(lambda c: lm_solve(sched_cfg(num_iterations=1), c, intr)),
         ctx, probe=lambda r: r.cost)
+    # prepare_lm sub-stages.
+    from super_tpu.core import assembly as assembly_mod
+    from super_tpu.ops.bilinear import build_corner_bank
+    reg("prep_layout",
+        jax.jit(lambda s: assembly_mod.build_tuple_layout(
+            s.surfels.knn_idx, s.surfels.active,
+            s.graph.capacity, tuple_cap=cfg.solver.assembly_tuple_cap,
+            pad_group=cfg.solver.assembly_pad_group,
+            chunk=cfg.solver.assembly_chunk,
+            pair_cap=cfg.solver.assembly_pair_cap)),
+        state0, probe=lambda lo: jnp.sum(lo.block_tuple[:64]))
+    reg("prep_bank",
+        jax.jit(lambda f: build_corner_bank(
+            f.points, f.norms, f.index_map(cfg.height, cfg.width))),
+        frames[1], probe=lambda b: jnp.sum(b[:, :64]))
     from super_tpu.core.losses import associate
     reg("assoc_id",
         jax.jit(lambda c: associate(cfg, c, beta_t0 * 1.0, intr,
@@ -168,6 +201,10 @@ def main():
                 _cf, intr, s.surfels, s.graph, frames[1])),
             state0, probe=lambda o: o[0].points[0, 0])
     reg("step", jax.jit(lambda s: track_step(cfg, intr, s, frames[1])),
+        state0, probe=lambda o: o[1].lm_cost)
+    c_sp32 = sched_cfg(linear_solver="pairs_fused", pcg_iterations=32)
+    reg("step_pairs",
+        jax.jit(lambda s, _c=c_sp32: track_step(_c, intr, s, frames[1])),
         state0, probe=lambda o: o[1].lm_cost)
 
     wanted = args.stages.split(",")

@@ -67,9 +67,11 @@ class SolverConfig:
     # the candidate cost pass over {u/v, u, u*v, ...} -- the parallel
     # accept/reject axis; 1 reproduces the reference's single-test schedule).
     lm_hypotheses: int = 1
-    # Linear solve: "cholesky" (dense, exact; reference super/LM.py:37-51) or
-    # "pcg" (block-Jacobi preconditioned CG on the block-sparse JTJ; TPU-native
-    # path that scales to dense ED graphs).
+    # Linear solve: "cholesky" (dense, exact; reference super/LM.py:37-51),
+    # "pcg" (block-Jacobi preconditioned CG; scales to dense ED graphs), or
+    # "pcg_pallas" (same preconditioned CG, all iterations fused into ONE
+    # Pallas kernel with the matrix streamed from HBM -- ~5x cheaper than
+    # the XLA Cholesky at J=320, pallas_kernels/pcg.py).
     linear_solver: str = "cholesky"
     pcg_iterations: int = 64
     pcg_tol: float = 1e-12

@@ -47,6 +47,14 @@ class TupleLayout(NamedTuple):
     #   out-of-range for the overflow sink (the set-scatter drops them)
     pair_overflow: Optional[jnp.ndarray] = None  # () int32 distinct pairs
     #   beyond pair_cap (their JTJ blocks are LOST -- must stay 0)
+    pair_key: Optional[jnp.ndarray] = None    # (P,) sorted distinct pair
+    #   keys (p1 * node_cap + p2, p1 <= p2); sentinel where unused.  Enables
+    #   pair_rank_lookup for graph-term rows (pairs_fused solve path).
+    diag_rank: Optional[jnp.ndarray] = None   # (J,) rank of pair (j, j)
+    arap_rank: Optional[jnp.ndarray] = None   # (J, K_ed, 3) ranks of the ED
+    #   edge's (nb, nb), (self, self), (min, max) pairs
+    arap_swap: Optional[jnp.ndarray] = None   # (J, K_ed) True where the ED
+    #   edge's off-diagonal block must be stored transposed (self < nb)
 
     @property
     def padded_size(self):
@@ -59,7 +67,7 @@ class TupleLayout(NamedTuple):
 
 def build_tuple_layout(knn_idx, active, node_cap: int, *, tuple_cap: int,
                        pad_group: int, chunk: int = 32768,
-                       pair_cap: int = 0) -> TupleLayout:
+                       pair_cap: int = 0, extra_pairs=None) -> TupleLayout:
     """Sort surfels by anchor tuple and build the G-aligned padded layout.
 
     Args:
@@ -132,15 +140,17 @@ def build_tuple_layout(knn_idx, active, node_cap: int, *, tuple_cap: int,
             tid_sorted].set(knn_idx[kk][perm], mode="drop"))
     tuple_nodes = jnp.stack(cols, axis=1)
 
-    pair_fields = (None,) * 4
+    pair_fields = (None,) * 5
     if pair_cap > 0:
         pair_fields = build_pair_layout(tuple_nodes, node_cap,
-                                        pair_cap=pair_cap)
+                                        pair_cap=pair_cap,
+                                        extra_pairs=extra_pairs)
     return TupleLayout(src_of=src_of, slot_valid=slot_valid,
                        block_tuple=block_tuple, tuple_nodes=tuple_nodes,
                        overflow_count=overflow_count,
                        pair_rank=pair_fields[0], pair_scale=pair_fields[1],
-                       pair_dest=pair_fields[2], pair_overflow=pair_fields[3])
+                       pair_dest=pair_fields[2], pair_overflow=pair_fields[3],
+                       pair_key=pair_fields[4])
 
 
 def block_reduce(layout: TupleLayout, h, r, *, pad_group: int):
@@ -167,7 +177,8 @@ def block_reduce(layout: TupleLayout, h, r, *, pad_group: int):
     return acc[..., :d], acc[..., d]
 
 
-def build_pair_layout(tuple_nodes, node_cap: int, *, pair_cap: int):
+def build_pair_layout(tuple_nodes, node_cap: int, *, pair_cap: int,
+                      extra_pairs=None):
     """Node-pair expansion layout: the per-frame sort that lets the
     per-iteration tuple->dense JTJ expansion run as one one-hot matmul and
     one unique set-scatter instead of a 16 T-block conflict scatter
@@ -181,7 +192,14 @@ def build_pair_layout(tuple_nodes, node_cap: int, *, pair_cap: int):
     ((16T,) rank + scale), so the per-iteration reduction is a single
     one-hot matmul over the unpermuted block buffer -- no gather.
 
-    Returns the pair_* fields of TupleLayout.
+    ``extra_pairs`` (M, 2): node pairs that must exist as distinct pairs
+    even if no data-term tuple produces them (graph-term blocks for the
+    pairs_fused sparse solve: ED edges + node diagonals).  They claim pair
+    slots but carry no tuple source rows.
+
+    Returns (rank_of_src, scale_of_src, dest, overflow, pair_key):
+    ``pair_key`` is the (P,) sorted distinct key table (p1 * node_cap + p2;
+    a huge sentinel where unused) for pair_rank_lookup.
     """
     t_cap, k = tuple_nodes.shape
     a_idx, b_idx = jnp.triu_indices(k)                 # (10,) each for k=4
@@ -195,6 +213,14 @@ def build_pair_layout(tuple_nodes, node_cap: int, *, pair_cap: int):
     base = jnp.arange(t_cap, dtype=jnp.int32)[:, None] * (k * k)
     src = base + jnp.where(n1 <= n2, fwd, rev)
     src = src.reshape(-1).astype(jnp.int32)
+    n_src = t_cap * k * k
+    if extra_pairs is not None:
+        ekey = (jnp.minimum(extra_pairs[:, 0], extra_pairs[:, 1]) * node_cap
+                + jnp.maximum(extra_pairs[:, 0], extra_pairs[:, 1]))
+        key = jnp.concatenate([key, ekey.astype(key.dtype)])
+        # Extras carry no tuple source row: scatter to a dropped index.
+        src = jnp.concatenate([
+            src, jnp.full(ekey.shape, n_src, jnp.int32)])
 
     key_s, src_s = jax.lax.sort((key, src), num_keys=1, is_stable=False)
     new_pair = jnp.concatenate([
@@ -213,24 +239,52 @@ def build_pair_layout(tuple_nodes, node_cap: int, *, pair_cap: int):
     scale_s = jnp.where(kp1 == kp2, 0.5, 1.0)
     scale_s = jnp.where(in_range, scale_s, 0.0).astype(jnp.float32)
 
-    # Scatter back to source-row order (src values are unique).
-    rank_of_src = jnp.full((t_cap * k * k,), pair_cap - 1,
-                           jnp.int32).at[src_s].set(rank)
-    scale_of_src = jnp.zeros((t_cap * k * k,),
-                             jnp.float32).at[src_s].set(scale_s)
-    return rank_of_src, scale_of_src, dest, pair_overflow
+    sentinel = jnp.asarray(node_cap * node_cap + 1, key_s.dtype)
+    pair_key = jnp.full((pair_cap,), sentinel, key_s.dtype).at[
+        jnp.where(in_range & new_pair, rank, pair_cap)].set(key_s,
+                                                            mode="drop")
+
+    # Scatter back to source-row order (src values are unique; extras drop).
+    rank_of_src = jnp.full((n_src,), pair_cap - 1,
+                           jnp.int32).at[src_s].set(rank, mode="drop")
+    scale_of_src = jnp.zeros((n_src,),
+                             jnp.float32).at[src_s].set(scale_s, mode="drop")
+    return rank_of_src, scale_of_src, dest, pair_overflow, pair_key
+
+
+def pair_rank_lookup(pair_key, node_cap: int, pairs):
+    """Rank of each (n1, n2) pair in the layout's distinct-pair table.
+
+    pairs: (..., 2) node ids.  Returns (...,) int32 ranks; pairs absent
+    from the table map to the sink rank P-1 (whose blocks are never
+    expanded -- contributions there are dropped by design, mirroring the
+    overflow semantics of the tuple sink)."""
+    p1 = jnp.minimum(pairs[..., 0], pairs[..., 1])
+    p2 = jnp.maximum(pairs[..., 0], pairs[..., 1])
+    key = (p1.astype(pair_key.dtype) * node_cap + p2.astype(pair_key.dtype))
+    pair_cap = pair_key.shape[0]
+    r = jnp.searchsorted(pair_key, key.reshape(-1)).astype(jnp.int32)
+    r_c = jnp.clip(r, 0, pair_cap - 1)
+    hit = pair_key[r_c] == key.reshape(-1)
+    return jnp.where(hit, r_c, pair_cap - 1).reshape(p1.shape)
 
 
 def segment_sum_matmul(values, seg_ids, num_segments: int):
     """Segment sum as a one-hot matmul: MXU-formulated replacement for
     ``zeros.at[seg_ids].add(values)`` (the scatter is element-cost-bound on
-    TPU; the matmul is FLOP-cheap and f32-faithful under HIGHEST)."""
+    TPU; the matmul is FLOP-cheap and f32-faithful).
+
+    Per-operand precision: the one-hot LHS is EXACTLY representable in one
+    bf16 pass (entries 0/1), so only the f32 values side needs the
+    multi-pass split -- (DEFAULT, HIGHEST) halves the MXU passes of the
+    all-HIGHEST product with bit-identical selection semantics (each output
+    element is an f32-accumulated sum of exactly the selected values)."""
     onehot = (seg_ids[None, :] ==
               jnp.arange(num_segments, dtype=seg_ids.dtype)[:, None]
               ).astype(values.dtype)
     return jax.lax.dot_general(
         onehot, values, (((1,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST)
+        precision=(jax.lax.Precision.DEFAULT, jax.lax.Precision.HIGHEST))
 
 
 def _scatter_blocks_set(dense, starts, blocks):
@@ -247,6 +301,25 @@ def _scatter_blocks_set(dense, starts, blocks):
     return dense.at[r_idx, c_idx].set(
         blocks.astype(dense.dtype).reshape(p, 7, 7), mode="drop",
         unique_indices=True)
+
+
+def reduce_pairs(layout: TupleLayout, gram, jtr_t, node_cap: int):
+    """Per-tuple Grams -> SPARSE pair form: (P, 49) distinct-node-pair
+    blocks (symmetric half, diagonal pairs halved -- the convention of
+    expand_pairs, where dense = S + S^T) + (J, 7) JTr.  This is the normal
+    form the pairs_fused CG solve consumes; no dense (7J)^2 matrix exists
+    anywhere (core/lm.py:_pairs_fused_solve)."""
+    t_cap, d, _ = gram.shape
+    k = layout.tuple_nodes.shape[1]
+    blocks = jax.lax.reshape(gram.reshape(t_cap, k, 7, k, 7),
+                             (t_cap * k * k, 49), dimensions=(0, 1, 3, 2, 4))
+    rows = blocks * layout.pair_scale[:, None]
+    pair_cap = layout.pair_dest.shape[0]
+    acc = segment_sum_matmul(rows, layout.pair_rank, pair_cap)
+    flat_nodes = layout.tuple_nodes.reshape(-1)
+    jtr = segment_sum_matmul(-jtr_t.reshape(t_cap * k, 7), flat_nodes,
+                             node_cap)
+    return acc, jtr
 
 
 def expand_pairs(layout: TupleLayout, gram, jtr_t, node_cap: int,

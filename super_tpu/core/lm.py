@@ -119,6 +119,97 @@ def _block_jacobi_pcg(a, b, j_cap: int, iterations: int, inv_d=None,
     return x
 
 
+def _block_precond_pcg_pallas(a, rhs, j_cap: int, iterations: int):
+    """Damped-normal-system solve via the fused Pallas CG kernel.
+
+    Block preconditioning is folded into the system: with L the batched
+    Cholesky of A's 7x7 diagonal node blocks (damping keeps them PD),
+    A-hat = L^-1 A L^-T has unit diagonal blocks, so the kernel runs plain
+    CG (no preconditioner state) and x = L^-T x-hat.  This subsumes the
+    Jacobi scaling of the cholesky/pcg paths (the block scaling IS the
+    symmetric scaling, extended to the full 7x7 coupling).
+
+    Equivalent to _block_jacobi_pcg in exact arithmetic; one kernel launch
+    instead of ~10 XLA kernels per CG iteration (pallas_kernels/pcg.py).
+    """
+    from super_tpu.pallas_kernels.pcg import pcg_pallas
+
+    dim = 7 * j_cap
+    blocks = a.reshape(j_cap, 7, j_cap, 7)[
+        jnp.arange(j_cap), :, jnp.arange(j_cap), :]          # (J, 7, 7)
+    eye7 = jnp.eye(7, dtype=rhs.dtype)
+    chol = jnp.linalg.cholesky(blocks.astype(rhs.dtype) + 1e-8 * eye7)
+    linv = jax.scipy.linalg.solve_triangular(
+        chol, jnp.broadcast_to(eye7, (j_cap, 7, 7)), lower=True)
+    # A-hat = (I (x) L^-1) A (I (x) L^-T), applied as two batched 7-row
+    # transforms (each one pass over the 20 MB matrix).
+    a1 = jnp.einsum("jik,jkd->jid", linv, a.reshape(j_cap, 7, dim),
+                    precision=jax.lax.Precision.HIGHEST).reshape(dim, dim)
+    a_hat = jnp.einsum("djk,jik->dji", a1.reshape(dim, j_cap, 7), linv,
+                       precision=jax.lax.Precision.HIGHEST).reshape(dim, dim)
+    b_hat = jnp.einsum("jik,jk->ji", linv,
+                       rhs.reshape(j_cap, 7)).reshape(dim)
+    x_hat = pcg_pallas(a_hat, b_hat, iterations=iterations)
+    return jnp.einsum("jki,jk->ji", linv,
+                      x_hat.reshape(j_cap, 7)).reshape(dim)
+
+
+def _pairs_fused_solve(cfg: SuPerConfig, layout, acc, rhs, u, j_cap: int,
+                       x0=None):
+    """Damped solve on the SPARSE pair-form normal equations.
+
+    ``acc`` (P, 49) holds the distinct-node-pair blocks (symmetric half,
+    diagonal pairs halved: dense = S + S^T).  No dense (7J)^2 matrix is
+    ever built: the block-Jacobi-preconditioned CG runs in ONE Pallas
+    kernel with the pair blocks VMEM-resident and the one-hot gather/
+    scatter matrices regenerated on the fly (pallas_kernels/pcg.py:
+    pairs_cg_pallas).  Replaces expand_pairs + damping + Cholesky.
+    """
+    from super_tpu.pallas_kernels.pcg import pairs_cg_pallas
+
+    pcap = acc.shape[0]
+    # Diagonal 7x7 blocks: dense diag = d + d^T (halved convention).
+    dr = jnp.clip(layout.diag_rank, 0, pcap - 1)
+    dhalf = acc[dr].reshape(j_cap, 7, 7)
+    dhalf = jnp.where((layout.diag_rank < pcap - 1)[:, None, None], dhalf,
+                      0.0)
+    dblk = dhalf + jnp.swapaxes(dhalf, 1, 2)
+    eye7 = jnp.eye(7, dtype=rhs.dtype)
+    minv = jnp.linalg.inv(dblk + (u + 1e-8) * eye7)        # (J, 7, 7)
+
+    # Diagonal-band layouts for the kernel's rolled matvec (row 8d+i):
+    #   blk_pad[8d+i]  = B[i, (i+d) % 8]    (y1 = B x2)
+    #   blkt_pad[8d+i] = B[(i+d) % 8, i]    (y2 = B^T x1)
+    #   minv_pad[8d+i] = Minv[i, (i+d) % 8]
+    # (row/col 7 of the 8-padded blocks are zero rows).
+    acc_t = acc.T                                          # (49, P)
+    idx_fwd = []
+    idx_rev = []
+    for d in range(8):
+        for i in range(8):
+            j = (i + d) % 8
+            ok = (i < 7) and (j < 7)
+            idx_fwd.append(i * 7 + j if ok else 49)
+            idx_rev.append(j * 7 + i if ok else 49)
+    pad_rows = jnp.concatenate([acc_t, jnp.zeros((1,) + acc_t.shape[1:],
+                                                 acc_t.dtype)])
+    blk_pad = pad_rows[jnp.asarray(idx_fwd)]               # (64, P)
+    blkt_pad = pad_rows[jnp.asarray(idx_rev)]
+    minv_t = minv.transpose(1, 2, 0).reshape(49, j_cap)    # [i*7+j] = M[i,j]
+    minv_rows = jnp.concatenate([minv_t, jnp.zeros((1, j_cap),
+                                                   minv_t.dtype)])
+    minv_pad = minv_rows[jnp.asarray(idx_fwd)]             # (64, J)
+
+    n1 = (layout.pair_dest[:, 0] // 7).astype(jnp.int32)   # J (=dim//7) when
+    n2 = (layout.pair_dest[:, 1] // 7).astype(jnp.int32)   # sink -> no match
+    b_fm = rhs.reshape(j_cap, 7).T                         # (7, J)
+    x0_fm = None if x0 is None else x0.reshape(j_cap, 7).T
+    x_fm = pairs_cg_pallas(blk_pad, blkt_pad, n1, n2, minv_pad, b_fm,
+                           u.astype(rhs.dtype), x0_fm,
+                           iterations=cfg.solver.pcg_iterations)
+    return x_fm.T.reshape(7 * j_cap)
+
+
 class LMResult(NamedTuple):
     beta: jnp.ndarray        # (J_cap, 7) final deformation parameters
     cost: jnp.ndarray        # () final accepted cost
@@ -149,7 +240,12 @@ def lm_solve(cfg: SuPerConfig, ctx: LMContext, intr: Intrinsics,
     if cfg.solver.association == "per_frame" and cfg.losses.sf_point_plane:
         assoc = associate(cfg, ctx, beta0, intr, identity=True)
 
-    def solve_damped(a, rhs):
+    pairs_fused = cfg.solver.linear_solver == "pairs_fused"
+    if pairs_fused and cfg.solver.lm_hypotheses > 1:
+        raise ValueError("pairs_fused does not support lm_hypotheses > 1 "
+                         "yet (the Pallas CG kernel is not vmappable)")
+
+    def solve_damped(a, rhs, x0=None):
         """Solve the damped, Jacobi-scaled normal system.
 
         Symmetric diagonal scaling first: the q- and b-columns differ in
@@ -162,6 +258,13 @@ def lm_solve(cfg: SuPerConfig, ctx: LMContext, intr: Intrinsics,
         matvec reads bf16 and accumulates f32; everything vector-sized
         stays f32.
         """
+        if pairs_fused:
+            acc, u = a     # damped() defers damping to the solve
+            return _pairs_fused_solve(cfg, ctx.layout, acc, rhs, u, j_cap,
+                                      x0=x0)
+        if cfg.solver.linear_solver == "pcg_pallas":
+            return _block_precond_pcg_pallas(a.astype(rhs.dtype), rhs, j_cap,
+                                             cfg.solver.pcg_iterations)
         diag_a = jnp.diagonal(a).astype(rhs.dtype)
         d = jnp.sqrt(jnp.maximum(diag_a, 1e-20))
         inv_d = 1.0 / d
@@ -188,6 +291,8 @@ def lm_solve(cfg: SuPerConfig, ctx: LMContext, intr: Intrinsics,
                                          with_cost=True)
 
     def damped(jtj, u):
+        if pairs_fused:
+            return (jtj, u)  # sparse pair form: damping applied in-solve
         # Damping on the diagonal (LM.py:97) without materializing a dense
         # identity (dim^2 can be ~800 MB for dense ED graphs).
         return jtj.at[diag_idx, diag_idx].add(u.astype(jtj.dtype))
@@ -201,13 +306,15 @@ def lm_solve(cfg: SuPerConfig, ctx: LMContext, intr: Intrinsics,
                                   solve_damped)
 
     def body(_, carry):
-        beta, best_beta, best_cost, u = carry
+        beta, best_beta, best_cost, u, delta_prev = carry
         jtj, jtr, _ = assemble(beta)
         a = damped(jtj, u)
-        delta = solve_damped(a, jtr)
+        delta = solve_damped(a, jtr, x0=delta_prev)
+        # (delta_prev is zeroed on reject below, so a rejected step's
+        # overlong delta never warm-starts the more-damped re-solve.)
         ok = jnp.all(jnp.isfinite(delta))
-        delta = jnp.where(ok, delta, 0.0).reshape(j_cap, 7)
-        beta_new = beta + delta
+        delta = jnp.where(ok, delta, 0.0)
+        beta_new = beta + delta.reshape(j_cap, 7)
         cost = total_cost(cfg, ctx, beta_new, intr, axis_name=axis_name,
                           assoc=assoc)
         accept = ok & (cost < best_cost)
@@ -215,10 +322,11 @@ def lm_solve(cfg: SuPerConfig, ctx: LMContext, intr: Intrinsics,
         best_cost = jnp.where(accept, cost, best_cost)
         u = jnp.where(accept, u / v, u * v)
         beta = jnp.where(accept, beta_new, best_beta)
-        return beta, best_beta, best_cost, u
+        return beta, best_beta, best_cost, u, jnp.where(accept, delta, 0.0)
 
-    _, best_beta, best_cost, u = jax.lax.fori_loop(
-        0, cfg.solver.num_iterations, body, (beta0, beta0, best0, u0))
+    _, best_beta, best_cost, u, _ = jax.lax.fori_loop(
+        0, cfg.solver.num_iterations, body,
+        (beta0, beta0, best0, u0, jnp.zeros((dim,), dtype)))
     return LMResult(beta=best_beta, cost=best_cost, final_damping=u)
 
 
@@ -248,12 +356,18 @@ def _lm_solve_deferred(cfg: SuPerConfig, beta0, u0, v, assemble, damped,
     dim = 7 * j_cap
     dtype = beta0.dtype
     acc_dtype = jnp.bfloat16 if cfg.solver.jtj_dtype == "bf16" else dtype
-    zero_jtj = jnp.zeros((dim, dim), acc_dtype)
+    if cfg.solver.linear_solver == "pairs_fused":
+        # Sparse pair-form carry: (P, 49) instead of the (7J)^2 dense
+        # matrix -- 0.8 MB vs 20 MB at J=320 in the fori_loop carry.
+        zero_jtj = jnp.zeros((cfg.solver.assembly_pair_cap, 49), dtype)
+    else:
+        zero_jtj = jnp.zeros((dim, dim), acc_dtype)
     zero_jtr = jnp.zeros((dim,), dtype)
     big = jnp.asarray(1e10, dtype)
 
     def body(i, carry):
-        beta_cand, best_beta, best_cost, best_jtj, best_jtr, u = carry
+        (beta_cand, best_beta, best_cost, best_jtj, best_jtr, u,
+         delta_prev) = carry
         jtj_c, jtr_c, cost_c = assemble(beta_cand)
         first = i == 0
         accept = first | (jnp.all(jnp.isfinite(jtr_c)) &
@@ -266,14 +380,22 @@ def _lm_solve_deferred(cfg: SuPerConfig, beta0, u0, v, assemble, damped,
         best_jtj = jnp.where(accept, jtj_c, best_jtj)
         best_jtr = jnp.where(accept, jtr_c, best_jtr)
         u = jnp.where(accept, u / v, u * v)
-        delta = solve_damped(damped(best_jtj, u), best_jtr)
+        # x0 = previous delta: warm-starts the iterative solvers
+        # (consecutive damped systems differ mildly); direct solvers
+        # ignore it, so candidates are unchanged there.  After a REJECT
+        # the damping jumped v x and the stale delta is a bad init
+        # (overlong; CG wastes iterations walking it back) -- cold-start.
+        x0 = jnp.where(accept, delta_prev, 0.0)
+        delta = solve_damped(damped(best_jtj, u), best_jtr, x0=x0)
         ok = jnp.all(jnp.isfinite(delta))
-        delta = jnp.where(ok, delta, 0.0).reshape(j_cap, 7)
-        beta_cand = best_beta + delta
-        return beta_cand, best_beta, best_cost, best_jtj, best_jtr, u
+        delta = jnp.where(ok, delta, 0.0)
+        beta_cand = best_beta + delta.reshape(j_cap, 7)
+        return (beta_cand, best_beta, best_cost, best_jtj, best_jtr, u,
+                delta)
 
-    init = (beta0, beta0, big, zero_jtj, zero_jtr, u0 * v)
-    _, best_beta, best_cost, _, _, u = jax.lax.fori_loop(
+    init = (beta0, beta0, big, zero_jtj, zero_jtr, u0 * v,
+            jnp.zeros((dim,), dtype))
+    _, best_beta, best_cost, _, _, u, _ = jax.lax.fori_loop(
         0, cfg.solver.num_iterations + 1, body, init)
     return LMResult(beta=best_beta, cost=best_cost, final_damping=u)
 

@@ -99,13 +99,48 @@ def prepare_lm(cfg: SuPerConfig, surfels: SurfelState, graph: GraphState,
 
     layout = None
     if sol.assembly_mode == "tuple" and cfg.num_neighbors == 4:
+        pairs_fused = sol.linear_solver == "pairs_fused"
+        extra_pairs = None
+        if pairs_fused:
+            # The sparse solve keeps the normal equations in distinct-pair
+            # form, so the graph terms' pairs (ED edges + every node's
+            # diagonal) must exist in the table even when no data tuple
+            # produces them.
+            j_cap = graph.capacity
+            self_idx = jnp.arange(j_cap, dtype=jnp.int32)
+            edges = jnp.stack([
+                jnp.broadcast_to(self_idx[:, None],
+                                 graph.knn_idx.shape).reshape(-1),
+                graph.knn_idx.reshape(-1).astype(jnp.int32)], axis=1)
+            diags = jnp.stack([self_idx, self_idx], axis=1)
+            extra_pairs = jnp.concatenate([edges, diags], axis=0)
         layout = assembly.build_tuple_layout(
             surfels.knn_idx, surfels.active, graph.capacity,
             tuple_cap=sol.assembly_tuple_cap,
             pad_group=sol.assembly_pad_group,
             chunk=sol.assembly_chunk,
             pair_cap=(sol.assembly_pair_cap
-                      if sol.assembly_expand == "pairs" else 0))
+                      if sol.assembly_expand == "pairs" or pairs_fused
+                      else 0),
+            extra_pairs=extra_pairs)
+        if pairs_fused:
+            j_cap = graph.capacity
+            self_idx = jnp.arange(j_cap, dtype=jnp.int32)
+            nb = graph.knn_idx.astype(jnp.int32)            # (J, K_ed)
+            self_b = jnp.broadcast_to(self_idx[:, None], nb.shape)
+            pk = layout.pair_key
+            layout = layout._replace(
+                diag_rank=assembly.pair_rank_lookup(
+                    pk, j_cap, jnp.stack([self_idx, self_idx], -1)),
+                arap_rank=jnp.stack([
+                    assembly.pair_rank_lookup(
+                        pk, j_cap, jnp.stack([nb, nb], -1)),
+                    assembly.pair_rank_lookup(
+                        pk, j_cap, jnp.stack([self_b, self_b], -1)),
+                    assembly.pair_rank_lookup(
+                        pk, j_cap, jnp.stack([nb, self_b], -1)),
+                ], axis=-1),
+                arap_swap=self_b < nb)
         src = layout.src_of
         sf_mask = layout.slot_valid & surfels.active[src]
         sf_knn_idx = gather_rows(surfels.knn_idx, src)   # (K, Np)
@@ -270,8 +305,10 @@ def associate(cfg: SuPerConfig, ctx: LMContext, beta, intr: Intrinsics,
     the blended transform returns the surfel point itself
     (sum_k w_k (diff_k + g_k) with normalized weights), so the pass is just
     projection + sampling."""
-    chunk = _cost_chunk_size(cfg, ctx)
-    xs, nc = _chunk_xs(ctx, chunk)
+    # One unchunked pass: the association is gather-bound, so chunking
+    # only multiplies dispatches; its intermediates are (3, Np) slims
+    # (no 28-wide gram buffers), well within HBM at any supported size.
+    xs, nc = _chunk_xs(ctx, ctx.sf_mask.shape[0])
     beta_t = (beta[ctx.layout.tuple_nodes] if ctx.layout is not None
               and not identity else None)
     h, w = cfg.height, cfg.width
@@ -783,6 +820,9 @@ def _data_normal_eq_tuple(cfg, ctx, beta, intr, weight, jtj, jtr,
     beta_t = beta[layout.tuple_nodes]      # (T, K, 7): per-tuple params
 
     def finish(gram, jtr_t, cost):
+        if sol.linear_solver == "pairs_fused":
+            acc, jtr7 = assembly.reduce_pairs(layout, gram, jtr_t, j_cap)
+            return acc, jtr7, cost
         if pairs:
             dense, jtr7 = assembly.expand_pairs(
                 layout, gram, jtr_t, j_cap,
@@ -936,6 +976,15 @@ def assemble_normal_equations(cfg: SuPerConfig, ctx: LMContext, beta,
         graph_scale = jax.lax.rsqrt(
             jax.lax.psum(jnp.asarray(1.0, beta.dtype), axis_name))
 
+    pairs_fused = cfg.solver.linear_solver == "pairs_fused"
+    if pairs_fused:
+        if ctx.layout is None or ctx.layout.pair_rank is None:
+            raise ValueError("linear_solver='pairs_fused' requires the "
+                             "tuple assembly with the pair layout")
+        pcap = ctx.layout.pair_dest.shape[0]
+        jtj = jnp.zeros((pcap, 49), dtype=beta.dtype)
+        jtr = jnp.zeros((j_cap, 7), dtype=beta.dtype)
+
     cost = jnp.asarray(0.0, beta.dtype)
     if losses.sf_point_plane:
         weight = losses.sf_point_plane_weight
@@ -948,6 +997,8 @@ def assemble_normal_equations(cfg: SuPerConfig, ctx: LMContext, beta,
                 cfg, ctx, beta, intr, weight, jtj, jtr, assoc=assoc)
         cost = cost + dcost
 
+    graph_rows = []   # pairs_fused: (R, 49) blocks + (R,) pair ranks
+    graph_ranks = []
     if losses.mesh_arap:
         r, g, idx, _ = arap_term_jacobian(ctx, beta, losses.mesh_arap_weight)
         r, g = r * graph_scale, g * graph_scale
@@ -959,10 +1010,27 @@ def assemble_normal_equations(cfg: SuPerConfig, ctx: LMContext, beta,
         for a in range(2):
             ga = g2[:, :, a, :]
             jtr = jtr.at[idx2[:, a]].add(-jnp.einsum("rci,rc->ri", ga, r2))
-            for b in range(2):
-                gb = g2[:, :, b, :]
-                blk = jnp.einsum("rci,rcj->rij", ga, gb)
-                jtj = _add_blocks(jtj, idx2[:, a], idx2[:, b], blk)
+        if pairs_fused:
+            # Distinct-pair rows under the symmetric-half convention
+            # (diagonal pairs halved, off-diagonal oriented min -> max).
+            b00 = jnp.einsum("rci,rcj->rij", g2[:, :, 0], g2[:, :, 0])
+            b11 = jnp.einsum("rci,rcj->rij", g2[:, :, 1], g2[:, :, 1])
+            b01 = jnp.einsum("rci,rcj->rij", g2[:, :, 0], g2[:, :, 1])
+            swap = ctx.layout.arap_swap.reshape(jk)
+            boff = jnp.where(swap[:, None, None],
+                             jnp.swapaxes(b01, 1, 2), b01)
+            graph_rows += [0.5 * b00.reshape(jk, 49),
+                           0.5 * b11.reshape(jk, 49),
+                           boff.reshape(jk, 49)]
+            ar = ctx.layout.arap_rank.reshape(jk, 3)
+            graph_ranks += [ar[:, 0], ar[:, 1], ar[:, 2]]
+        else:
+            for a in range(2):
+                ga = g2[:, :, a, :]
+                for b in range(2):
+                    gb = g2[:, :, b, :]
+                    blk = jnp.einsum("rci,rcj->rij", ga, gb)
+                    jtj = _add_blocks(jtj, idx2[:, a], idx2[:, b], blk)
 
     if losses.mesh_rot:
         r, g, _ = rot_term_jacobian(beta, ctx.ed_mask, losses.mesh_rot_weight)
@@ -970,8 +1038,17 @@ def assemble_normal_equations(cfg: SuPerConfig, ctx: LMContext, beta,
         cost = cost + jnp.sum(r * r)
         diag = jnp.arange(j_cap)
         jtr = jtr.at[diag].add(-g * r[:, None])
-        jtj = _add_blocks(jtj, diag, diag, g[:, :, None] * g[:, None, :])
+        if pairs_fused:
+            graph_rows.append(
+                (0.5 * g[:, :, None] * g[:, None, :]).reshape(j_cap, 49))
+            graph_ranks.append(ctx.layout.diag_rank)
+        else:
+            jtj = _add_blocks(jtj, diag, diag, g[:, :, None] * g[:, None, :])
 
+    if graph_rows:
+        jtj = jtj + assembly.segment_sum_matmul(
+            jnp.concatenate(graph_rows), jnp.concatenate(graph_ranks),
+            jtj.shape[0])
     if block_layout:
         jtj = jtj.transpose(0, 2, 1, 3).reshape(dim, dim)
     jtr = jtr.reshape(dim)

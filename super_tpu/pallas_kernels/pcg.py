@@ -1,0 +1,268 @@
+"""Pallas kernel: fused conjugate-gradient solve of the damped normal system.
+
+The LM inner solve (reference super/LM.py:100, cuSOLVER Cholesky) costs
+~6.3 ms per iteration at J=320 as an XLA Cholesky: the panel factorization
+is latency-serial, and an XLA-level PCG is no cheaper because every CG
+iteration launches ~10 small kernels.  This kernel runs ALL CG iterations
+in ONE launch: the (dim, dim) matrix stays in HBM (too big for VMEM at
+20 MB) and is streamed through a double-buffered row-tile pipeline once per
+matvec (~20 MB/iteration => bandwidth-floor ~25 us), while the vectors and
+the scalar recurrences live in VMEM/registers.
+
+Preconditioning is folded into the system BEFORE the kernel (see
+``block_precondition`` in core/lm.py): with A-hat = L^-1 A L^-T for the
+block-diagonal Cholesky L of A's 7x7 node blocks, A-hat has unit diagonal
+blocks, so the in-kernel iteration is plain CG -- no preconditioner state.
+
+Symmetry trick: the matvec accumulates ap += p[tile] @ A[tile_rows, :]
+over row tiles, which computes A^T p = A p (A symmetric) with every
+partial product lane-aligned to the (1, dim) vector layout.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _pcg_kernel(a_hbm, b_ref, x_ref, r_ref, p_ref, ap_ref, a_buf, sems,
+                *, iterations: int, row_block: int):
+    dim_p = b_ref.shape[1]
+    nb = dim_p // row_block
+
+    x_ref[...] = jnp.zeros_like(x_ref)
+    r_ref[...] = b_ref[...]
+    p_ref[...] = b_ref[...]
+    rz0 = jnp.sum(r_ref[...] * r_ref[...])
+
+    def get_dma(slot, i):
+        return pltpu.make_async_copy(
+            a_hbm.at[pl.ds(i * row_block, row_block), :],
+            a_buf.at[slot],
+            sems.at[slot],
+        )
+
+    def matvec():
+        """ap <- A p, streaming A row tiles HBM -> VMEM (double-buffered)."""
+        get_dma(0, 0).start()
+
+        def tile_body(i, _):
+            slot = i % 2
+
+            @pl.when(i + 1 < nb)
+            def _():
+                get_dma((i + 1) % 2, i + 1).start()
+
+            get_dma(slot, i).wait()
+            part = jax.lax.dot_general(
+                p_ref[:, pl.ds(i * row_block, row_block)], a_buf[slot],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)       # (1, dim_p)
+
+            @pl.when(i == 0)
+            def _():
+                ap_ref[...] = part
+
+            @pl.when(i > 0)
+            def _():
+                ap_ref[...] = ap_ref[...] + part
+
+            return 0
+
+        jax.lax.fori_loop(0, nb, tile_body, 0)
+
+    def cg_body(_, rz):
+        matvec()
+        pap = jnp.sum(p_ref[...] * ap_ref[...])
+        alpha = jnp.where(jnp.abs(pap) > 1e-30, rz / pap, 0.0)
+        x_ref[...] = x_ref[...] + alpha * p_ref[...]
+        r_ref[...] = r_ref[...] - alpha * ap_ref[...]
+        rz_new = jnp.sum(r_ref[...] * r_ref[...])
+        beta = jnp.where(jnp.abs(rz) > 1e-30, rz_new / rz, 0.0)
+        p_ref[...] = r_ref[...] + beta * p_ref[...]
+        return rz_new
+
+    jax.lax.fori_loop(0, iterations, cg_body, rz0)
+
+
+def _pairs_cg_kernel(blk_ref, blkt_ref, n1_ref, n2_ref, minv_ref, b_ref,
+                     x0_ref, u_ref, x_ref, r_ref, p_ref, z_ref, ap_ref,
+                     oh_ref, t_ref, g_ref, *, iterations: int):
+    """PCG on the pair-sparse normal equations, fully VMEM-resident.
+
+    Layouts (J = padded node count, P = pair capacity):
+      blk_ref/blkt_ref: (64, P) pair blocks in DIAGONAL-BAND form, row
+        8d+i = B[i, (i+d) % 8] (and B^T's bands) -- a 7x7-block matvec is
+        then 8 aligned multiply-adds against rolled copies of the operand,
+        t[i] = sum_d band_d[i] * v[(i+d) % 8], with no sublane reshapes.
+      n1/n2: (1, P) int32 pair node ids (out-of-range = sink, matches no
+        one-hot column).
+      minv_ref: (64, J) block-Jacobi inverse in the same band form.
+      b/x/r/p/z/ap: (8, J) node-major vectors (row 7 = zero).
+      oh_ref: (J, P) one-hot scratch, regenerated per use -- Pallas cannot
+        gather VMEM rows dynamically, so gathers/scatters between the
+        (8, J) vectors and the (8, P) pair lanes are MXU one-hot products.
+      t_ref: (8, P) pair-lane scratch; g_ref: (8, P) gathered-x scratch.
+    """
+    u = u_ref[0]
+
+    def onehot(n_ref):
+        rows = jax.lax.broadcasted_iota(jnp.int32, oh_ref.shape, 0)
+        oh_ref[...] = jnp.where(rows == n_ref[...], 1.0, 0.0)
+
+    def band_mv(band_ref, v):
+        """(8, N) result: out[i] = sum_d band[8d+i] * v[(i+d) % 8]."""
+        acc = band_ref[0:8] * v
+        for d in range(1, 8):
+            # roll by 8-d == roll by -d on the length-8 sublane axis:
+            # out[i] = v[(i + d) % 8] (pltpu.roll requires shift >= 0).
+            acc = acc + band_ref[8 * d:8 * d + 8] * pltpu.roll(v, 8 - d, 0)
+        return acc
+
+    def matvec():
+        """ap <- (S + S^T + u I) p."""
+        onehot(n2_ref)                                   # columns of S
+        g_ref[...] = jax.lax.dot_general(
+            p_ref[...], oh_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)          # p[n2] as (8, P)
+        t_ref[...] = band_mv(blk_ref, g_ref[...])
+        onehot(n1_ref)                                   # rows of S
+        ap_ref[...] = jax.lax.dot_general(
+            t_ref[...], oh_ref[...], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)          # scatter to nodes
+        g_ref[...] = jax.lax.dot_general(
+            p_ref[...], oh_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)          # p[n1]
+        t_ref[...] = band_mv(blkt_ref, g_ref[...])
+        onehot(n2_ref)
+        ap_ref[...] = ap_ref[...] + jax.lax.dot_general(
+            t_ref[...], oh_ref[...], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) + u * p_ref[...]
+
+    def precond(v):
+        return band_mv(minv_ref, v)
+
+    # Warm start: x = x0, r = b - A x0 (the LM loop passes the previous
+    # iteration's delta -- the damped systems differ only mildly between
+    # consecutive LM iterations, cutting CG iterations severalfold).
+    x_ref[...] = x0_ref[...]
+    p_ref[...] = x0_ref[...]
+    matvec()
+    r_ref[...] = b_ref[...] - ap_ref[...]
+    z_ref[...] = precond(r_ref[...])
+    p_ref[...] = z_ref[...]
+    rz0 = jnp.sum(r_ref[...] * z_ref[...])
+
+    def cg_body(_, rz):
+        matvec()
+        pap = jnp.sum(p_ref[...] * ap_ref[...])
+        alpha = jnp.where(jnp.abs(pap) > 1e-30, rz / pap, 0.0)
+        x_ref[...] = x_ref[...] + alpha * p_ref[...]
+        r_ref[...] = r_ref[...] - alpha * ap_ref[...]
+        z_ref[...] = precond(r_ref[...])
+        rz_new = jnp.sum(r_ref[...] * z_ref[...])
+        beta = jnp.where(jnp.abs(rz) > 1e-30, rz_new / rz, 0.0)
+        p_ref[...] = z_ref[...] + beta * p_ref[...]
+        return rz_new
+
+    jax.lax.fori_loop(0, iterations, cg_body, rz0)
+
+
+@functools.partial(jax.jit, static_argnames=("iterations", "interpret"))
+def pairs_cg_pallas(blk_pad, blkt_pad, n1, n2, minv_pad, b_fm, u, x0_fm=None,
+                    *, iterations: int = 32, interpret: bool = False):
+    """Block-Jacobi PCG on pair-sparse normal equations in ONE kernel.
+
+    Args:
+      blk_pad, blkt_pad: (64, P) padded pair blocks (row 8g+s = B[s,g] and
+        B[g,s]; see core/lm.py:_pairs_fused_solve).
+      n1, n2: (P,) int32 node ids of each pair (>= J for the sink).
+      minv_pad: (64, J) padded inverse diagonal blocks.
+      b_fm: (7, J) feature-major right-hand side.
+      u: () damping added to the matvec diagonal.
+    Returns: (7, J) solution.
+    """
+    if jax.default_backend() != "tpu":
+        interpret = True  # CPU test harness runs the kernel interpreted
+    j = b_fm.shape[1]
+    p_cap = blk_pad.shape[1]
+    jp = -(-j // 128) * 128
+    b8 = jnp.zeros((8, jp), jnp.float32).at[:7, :j].set(
+        b_fm.astype(jnp.float32))
+    if x0_fm is None:
+        x08 = jnp.zeros((8, jp), jnp.float32)
+    else:
+        x08 = jnp.zeros((8, jp), jnp.float32).at[:7, :j].set(
+            x0_fm.astype(jnp.float32))
+    minv8 = jnp.zeros((64, jp), jnp.float32).at[:, :j].set(
+        minv_pad.astype(jnp.float32))
+
+    kernel = functools.partial(_pairs_cg_kernel, iterations=iterations)
+    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    x = pl.pallas_call(
+        kernel,
+        in_specs=[vspec] * 7 + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=vspec,
+        out_shape=jax.ShapeDtypeStruct((8, jp), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((8, jp), jnp.float32),    # r
+            pltpu.VMEM((8, jp), jnp.float32),    # p
+            pltpu.VMEM((8, jp), jnp.float32),    # z
+            pltpu.VMEM((8, jp), jnp.float32),    # ap
+            pltpu.VMEM((jp, p_cap), jnp.float32),  # one-hot scratch
+            pltpu.VMEM((8, p_cap), jnp.float32),   # pair-lane scratch
+            pltpu.VMEM((8, p_cap), jnp.float32),   # gathered-x scratch
+        ],
+        interpret=interpret,
+    )(blk_pad.astype(jnp.float32), blkt_pad.astype(jnp.float32),
+      n1.reshape(1, p_cap), n2.reshape(1, p_cap), minv8, b8, x08,
+      jnp.asarray(u, jnp.float32).reshape(1))
+    return x[:7, :j]
+
+
+@functools.partial(jax.jit, static_argnames=("iterations", "row_block",
+                                             "interpret"))
+def pcg_pallas(a, b, *, iterations: int = 32, row_block: int = 256,
+               interpret: bool = False):
+    """Solve ``a @ x = b`` (a symmetric PD, unit-ish diagonal) by fused CG.
+
+    Args:
+      a: (dim, dim) float32, symmetric.  Padded internally to a multiple of
+        ``row_block`` (zero padding; CG iterates stay exactly zero in the
+        padded coordinates because r0 = b is zero there).
+      b: (dim,) float32.
+    Returns: (dim,) float32 solution after ``iterations`` CG steps.
+    """
+    if jax.default_backend() != "tpu":
+        interpret = True  # CPU test harness runs the kernel interpreted
+    dim = a.shape[0]
+    lcm = max(row_block, 128)
+    dim_p = -(-dim // lcm) * lcm
+    if dim_p != dim:
+        a = jnp.pad(a, ((0, dim_p - dim), (0, dim_p - dim)))
+        b = jnp.pad(b, (0, dim_p - dim))
+
+    kernel = functools.partial(_pcg_kernel, iterations=iterations,
+                               row_block=row_block)
+    x = pl.pallas_call(
+        kernel,
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),       # A stays in HBM
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, dim_p), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((1, dim_p), jnp.float32),     # r
+            pltpu.VMEM((1, dim_p), jnp.float32),     # p
+            pltpu.VMEM((1, dim_p), jnp.float32),     # ap
+            pltpu.VMEM((2, row_block, dim_p), jnp.float32),  # A tiles
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(a, b.reshape(1, dim_p))
+    return x[0, :dim]
