@@ -92,7 +92,8 @@ def main():
             # matches Cholesky accuracy at ~1/3 the per-iteration cost.
             # per_iteration keeps the exact Cholesky (reference-fidelity
             # trajectories are solve-tolerance-sensitive there).
-            solver_kw.update(linear_solver="pairs_fused", pcg_iterations=32)
+            solver_kw.update(linear_solver="pairs_fused", pcg_iterations=32,
+                             gram_sum_dtype="bf16")
         return cfg.replace(solver=dataclasses.replace(cfg.solver,
                                                       **solver_kw))
 

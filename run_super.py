@@ -35,6 +35,7 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--linear_solver", default=None,
                    choices=["cholesky", "pcg", "pcg_pallas", "pairs_fused"])
     p.add_argument("--pcg_iterations", type=int, default=None)
+    p.add_argument("--gram_sum_dtype", default=None, choices=["f32", "bf16"])
     p.add_argument("--method", default="super",
                    choices=["super", "semantic-super"])
     p.add_argument("--data", default="superv1", choices=["superv1", "superv2"])
@@ -163,6 +164,8 @@ def main(argv=None) -> int:
         solver_kw.update(linear_solver=args.linear_solver)
     if args.pcg_iterations:
         solver_kw.update(pcg_iterations=args.pcg_iterations)
+    if args.gram_sum_dtype:
+        solver_kw.update(gram_sum_dtype=args.gram_sum_dtype)
     cfg = cfg.replace(solver=dataclasses.replace(cfg.solver, **solver_kw))
 
     if cfg.losses.sf_corr and args.use_derived_gradient:

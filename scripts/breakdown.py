@@ -206,6 +206,16 @@ def main():
     reg("step_pairs",
         jax.jit(lambda s, _c=c_sp32: track_step(_c, intr, s, frames[1])),
         state0, probe=lambda o: o[1].lm_cost)
+    c_spb = sched_cfg(linear_solver="pairs_fused", pcg_iterations=32,
+                      gram_sum_dtype="bf16")
+    reg("step_pairs_bf16",
+        jax.jit(lambda s, _c=c_spb: track_step(_c, intr, s, frames[1])),
+        state0, probe=lambda o: o[1].lm_cost)
+    ctx_spb = jax.jit(lambda s, _c=c_spb: prepare_lm(
+        _c, s.surfels, s.graph, frames[1]))(state0)
+    reg("lm_pairs_bf16",
+        jax.jit(lambda c, _c=c_spb: lm_solve(_c, c, intr)),
+        ctx_spb, probe=lambda r: r.cost)
 
     wanted = args.stages.split(",")
     out = {}

@@ -112,6 +112,11 @@ class SolverConfig:
     # (~0.4% relative error absorbed by the damped accept/reject loop).
     # bf16 requires linear_solver="pcg" (the matvec accumulates in f32).
     jtj_dtype: str = "f32"
+    # Dtype of the one-hot segment-sum matmuls that combine G-block Grams
+    # into tuples/pairs: "f32" (3 MXU passes, faithful) or "bf16" (1 pass,
+    # ~3x cheaper; noise at the same order the Gram einsums already carry
+    # under default MXU precision -- accumulation stays f32).
+    gram_sum_dtype: str = "f32"
     # Data association for the point-plane term:
     #   "per_iteration": re-project + re-sample the target maps inside every
     #     LM iteration (reference semantics, super/loss.py:222-248) --

@@ -269,21 +269,34 @@ def pair_rank_lookup(pair_key, node_cap: int, pairs):
     return jnp.where(hit, r_c, pair_cap - 1).reshape(p1.shape)
 
 
-def segment_sum_matmul(values, seg_ids, num_segments: int):
+def segment_sum_matmul(values, seg_ids, num_segments: int,
+                       sum_dtype=None):
     """Segment sum as a one-hot matmul: MXU-formulated replacement for
     ``zeros.at[seg_ids].add(values)`` (the scatter is element-cost-bound on
-    TPU; the matmul is FLOP-cheap and f32-faithful).
+    TPU; the matmul is FLOP-cheap).
 
     Per-operand precision: the one-hot LHS is EXACTLY representable in one
     bf16 pass (entries 0/1), so only the f32 values side needs the
-    multi-pass split -- (DEFAULT, HIGHEST) halves the MXU passes of the
-    all-HIGHEST product with bit-identical selection semantics (each output
-    element is an f32-accumulated sum of exactly the selected values)."""
+    multi-pass split -- (DEFAULT, HIGHEST) keeps f32-faithful selection at
+    3 MXU passes instead of 9.
+
+    ``sum_dtype=bfloat16`` truncates the values side to ONE pass (3x fewer
+    MXU flops; accumulation stays f32).  The relative noise (~4e-3) is the
+    same order the gradient-row Gram einsums already carry under the
+    MXU's default-precision bf16 truncation, and the LM damping loop
+    absorbs it (measured: no tracking-accuracy change at 480p) -- but
+    keep f32 where bit-faithful sums matter (tests, golden parity)."""
     onehot = (seg_ids[None, :] ==
-              jnp.arange(num_segments, dtype=seg_ids.dtype)[:, None]
-              ).astype(values.dtype)
+              jnp.arange(num_segments, dtype=seg_ids.dtype)[:, None])
+    if sum_dtype == jnp.bfloat16 or sum_dtype == "bf16":
+        out = jax.lax.dot_general(
+            onehot.astype(jnp.bfloat16), values.astype(jnp.bfloat16),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT)
+        return out.astype(values.dtype)
     return jax.lax.dot_general(
-        onehot, values, (((1,), (0,)), ((), ())),
+        onehot.astype(values.dtype), values, (((1,), (0,)), ((), ())),
         precision=(jax.lax.Precision.DEFAULT, jax.lax.Precision.HIGHEST))
 
 
@@ -303,7 +316,8 @@ def _scatter_blocks_set(dense, starts, blocks):
         unique_indices=True)
 
 
-def reduce_pairs(layout: TupleLayout, gram, jtr_t, node_cap: int):
+def reduce_pairs(layout: TupleLayout, gram, jtr_t, node_cap: int,
+                 sum_dtype=None):
     """Per-tuple Grams -> SPARSE pair form: (P, 49) distinct-node-pair
     blocks (symmetric half, diagonal pairs halved -- the convention of
     expand_pairs, where dense = S + S^T) + (J, 7) JTr.  This is the normal
@@ -315,7 +329,8 @@ def reduce_pairs(layout: TupleLayout, gram, jtr_t, node_cap: int):
                              (t_cap * k * k, 49), dimensions=(0, 1, 3, 2, 4))
     rows = blocks * layout.pair_scale[:, None]
     pair_cap = layout.pair_dest.shape[0]
-    acc = segment_sum_matmul(rows, layout.pair_rank, pair_cap)
+    acc = segment_sum_matmul(rows, layout.pair_rank, pair_cap,
+                             sum_dtype=sum_dtype)
     flat_nodes = layout.tuple_nodes.reshape(-1)
     jtr = segment_sum_matmul(-jtr_t.reshape(t_cap * k, 7), flat_nodes,
                              node_cap)

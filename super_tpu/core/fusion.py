@@ -361,12 +361,16 @@ def fuse_frame(cfg: SuPerConfig, intr: Intrinsics, surfels: SurfelState,
         comp_valid = comp_src < p
         comp_src = jnp.where(comp_valid, comp_src, 0)
 
-        def take_fm(a):
-            return gather_rows(a, comp_src)
-
-        c_points = take_fm(frame.points)
-        c_seg = frame.seg[comp_src]
-        c_seg_conf = take_fm(frame.seg_conf)
+        # One gather fetches every candidate field (frame rows packed once).
+        fdt = frame.points.dtype
+        fbank2 = jnp.concatenate([
+            frame.points, frame.norms, frame.colors, frame.radii[None],
+            frame.confs[None], frame.dist2edge[None],
+            frame.seg.astype(fdt)[None], frame.seg_conf], axis=0)
+        cvals = gather_rows(fbank2, comp_src)          # (13 + C, a_cap)
+        c_points = cvals[0:3]
+        c_seg = cvals[12].astype(jnp.int32)
+        c_seg_conf = cvals[13:]
         knn_idx, knn_w, stable = anchor_points(
             cfg, graph, c_points, comp_valid, seg=c_seg,
             seg_conf=c_seg_conf)
@@ -382,28 +386,39 @@ def fuse_frame(cfg: SuPerConfig, intr: Intrinsics, surfels: SurfelState,
         target = jnp.where(add, slot_by_rank[jnp.clip(add_rank, 0, n - 1)], n)
         free_exhausted = jnp.sum(add & (target >= n)).astype(jnp.int32)
 
-        def scat_fm(dst, src):
-            rows = [dst[f].at[target].set(src[f], mode="drop")
-                    for f in range(dst.shape[0])]
-            return jnp.stack(rows)
-
-        def scat(dst, src):
-            return dst.at[target].set(src, mode="drop")
-
+        # ONE packed 2D column scatter writes every field (ints carried as
+        # f32 -- node ids and labels are far below 2^24): per-row scatters
+        # pay a fixed ~1 ms each on TPU, and there are 23+C rows.
+        src_bank = jnp.concatenate([
+            cvals,                  # pts/nrm/col/radii/confs/d2e/seg/segconf
+            jnp.full((1, a_cap), time, dtype=fdt),      # time_stamp
+            knn_idx.astype(fdt), knn_w,
+            jnp.ones((1, a_cap), fdt),                  # active
+        ], axis=0)
+        dst_bank = jnp.concatenate([
+            surfels.points, surfels.norms, surfels.colors,
+            surfels.radii[None], surfels.confs[None],
+            surfels.dist2edge[None], surfels.seg.astype(fdt)[None],
+            surfels.seg_conf, surfels.time_stamp[None],
+            surfels.knn_idx.astype(fdt), surfels.knn_w,
+            surfels.active.astype(fdt)[None],
+        ], axis=0)
+        new_bank = dst_bank.at[:, target].set(src_bank, mode="drop")
+        nc_seg = frame.seg_conf.shape[0]
         surfels = surfels._replace(
-            points=scat_fm(surfels.points, c_points),
-            norms=scat_fm(surfels.norms, take_fm(frame.norms)),
-            colors=scat_fm(surfels.colors, take_fm(frame.colors)),
-            radii=scat(surfels.radii, frame.radii[comp_src]),
-            confs=scat(surfels.confs, frame.confs[comp_src]),
-            time_stamp=scat(surfels.time_stamp,
-                            jnp.full((a_cap,), time, dtype=jnp.float32)),
-            knn_idx=scat_fm(surfels.knn_idx, knn_idx),
-            knn_w=scat_fm(surfels.knn_w, knn_w),
-            seg=scat(surfels.seg, c_seg),
-            seg_conf=scat_fm(surfels.seg_conf, c_seg_conf),
-            dist2edge=scat(surfels.dist2edge, frame.dist2edge[comp_src]),
-            active=surfels.active.at[target].set(True, mode="drop"),
+            points=new_bank[0:3],
+            norms=new_bank[3:6],
+            colors=new_bank[6:9],
+            radii=new_bank[9],
+            confs=new_bank[10],
+            dist2edge=new_bank[11],
+            seg=new_bank[12].astype(jnp.int32),
+            seg_conf=new_bank[13:13 + nc_seg],
+            time_stamp=new_bank[13 + nc_seg],
+            knn_idx=new_bank[14 + nc_seg:18 + nc_seg].astype(
+                surfels.knn_idx.dtype),
+            knn_w=new_bank[18 + nc_seg:22 + nc_seg],
+            active=new_bank[22 + nc_seg] > 0.5,
         )
 
     diag = FusionDiag(

@@ -821,7 +821,10 @@ def _data_normal_eq_tuple(cfg, ctx, beta, intr, weight, jtj, jtr,
 
     def finish(gram, jtr_t, cost):
         if sol.linear_solver == "pairs_fused":
-            acc, jtr7 = assembly.reduce_pairs(layout, gram, jtr_t, j_cap)
+            acc, jtr7 = assembly.reduce_pairs(layout, gram, jtr_t, j_cap,
+                                              sum_dtype=sol.gram_sum_dtype
+                                              if sol.gram_sum_dtype != "f32"
+                                              else None)
             return acc, jtr7, cost
         if pairs:
             dense, jtr7 = assembly.expand_pairs(
@@ -880,7 +883,10 @@ def _data_normal_eq_tuple(cfg, ctx, beta, intr, weight, jtj, jtr,
         partial = parts.reshape(-1, 28 * 29)
 
     if sol.assembly_combine == "matmul":
-        acc = assembly.segment_sum_matmul(partial, layout.block_tuple, t_cap)
+        acc = assembly.segment_sum_matmul(
+            partial, layout.block_tuple, t_cap,
+            sum_dtype=sol.gram_sum_dtype if sol.gram_sum_dtype != "f32"
+            else None)
     else:
         acc = jnp.zeros((t_cap, 28 * 29), dtype=beta.dtype).at[
             layout.block_tuple].add(partial)

@@ -31,12 +31,14 @@ def test_mesh_construction():
     assert mesh.shape["stream"] == len(jax.devices())
 
 
-@pytest.mark.parametrize("mode", ["scatter", "tuple"])
+@pytest.mark.parametrize("mode", ["scatter", "tuple", "pairs_fused"])
 def test_sharded_normal_equations_exact(scene, mode):
     """The surfel-sharded, psum-combined (JTJ, JTr, cost) must equal the
     single-device assembly (the only cross-chip traffic of the solver) --
-    for both the scatter path and the tuple-grouped MXU path (which shards
-    by G-block range, parallel/sharded.py:shard_ctx)."""
+    for the scatter path, the tuple-grouped MXU path (which shards by
+    G-block range, parallel/sharded.py:shard_ctx), and the SPARSE pair
+    form consumed by the pairs_fused CG kernel (psum of (P, 49) blocks,
+    25x less traffic than the dense matrix)."""
     import dataclasses
 
     from jax.experimental.shard_map import shard_map
@@ -47,6 +49,10 @@ def test_sharded_normal_equations_exact(scene, mode):
     from super_tpu.parallel.sharded import shard_ctx
 
     cfg, intr, seq, frames = scene
+    if mode == "pairs_fused":
+        cfg = cfg.replace(solver=dataclasses.replace(
+            cfg.solver, linear_solver="pairs_fused"))
+        mode = "tuple"
     cfg = cfg.replace(solver=dataclasses.replace(cfg.solver,
                                                  assembly_mode=mode))
     state = init_tracker(cfg, frames[0])
