@@ -97,7 +97,7 @@ def main():
 
     reg("prepare",
         jax.jit(lambda s: prepare_lm(cfg, s.surfels, s.graph, frames[1])),
-        state0, probe=lambda c: jnp.sum(c.sf_diff[:, :8]))
+        state0, probe=lambda c: jnp.sum(c.sf_points[:, :8]))
     ctx = jax.jit(lambda s: prepare_lm(cfg, s.surfels, s.graph,
                                        frames[1]))(state0)
     from super_tpu.geometry.quaternion import IDENTITY_DQ as _IDQ

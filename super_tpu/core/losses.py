@@ -58,11 +58,20 @@ class LMContext(NamedTuple):
     """
 
     # --- data term (surfel dim last) ---
+    # Tuple mode stores only the PER-SURFEL fields that genuinely vary per
+    # surfel (mask, weights, points); the anchor ids/positions are
+    # tuple-uniform and live in the tiny (.., T) tables below -- skipping
+    # the ~2.6M-index sf_knn/sf_knn_idx gathers the scatter mode pays
+    # (chunks rebuild knn/diff by tuple broadcast, _geom_of).
     sf_mask: jnp.ndarray       # (Np,) active surfels
-    sf_knn_idx: jnp.ndarray    # (K, Np)
     sf_knn_w: jnp.ndarray      # (K, Np)
-    sf_knn: jnp.ndarray        # (K*3, Np) anchor positions g_i (k-major pack)
-    sf_diff: jnp.ndarray       # (K*3, Np) p - g_i
+    sf_points: jnp.ndarray     # (3, Np) surfel points (padded slot order)
+    sf_knn_idx: Optional[jnp.ndarray]  # (K, Np), scatter mode only
+    sf_knn: Optional[jnp.ndarray]      # (K*3, Np) anchor positions g_i
+    #   (k-major pack), scatter mode only
+    sf_diff: Optional[jnp.ndarray]     # (K*3, Np) p - g_i, scatter only
+    tuple_knn: Optional[jnp.ndarray]   # (K*3, T) per-tuple anchor positions
+    #   (k-major pack), tuple mode only
     # --- target frame ---
     trg_points: jnp.ndarray    # (3, P) candidate points (pixel-indexed)
     trg_norms: jnp.ndarray     # (3, P)
@@ -143,17 +152,28 @@ def prepare_lm(cfg: SuPerConfig, surfels: SurfelState, graph: GraphState,
                 arap_swap=self_b < nb)
         src = layout.src_of
         sf_mask = layout.slot_valid & surfels.active[src]
-        sf_knn_idx = gather_rows(surfels.knn_idx, src)   # (K, Np)
         sf_knn_w = gather_rows(surfels.knn_w, src)
         sf_points = gather_rows(surfels.points, src)
 
-    # Packed anchors: row k*3+d of sf_knn is coordinate d of anchor k.
-    k = sf_knn_idx.shape[0]
     gp_t = graph.points.T              # (3, J)
-    npts = sf_knn_idx.shape[-1]
-    sf_knn = jnp.take(gp_t, sf_knn_idx, axis=-1)  # (3, K, Np), one gather
-    sf_knn = jnp.moveaxis(sf_knn, 0, 1).reshape(3 * k, npts)  # k-major pack
-    sf_diff = jnp.tile(sf_points, (k, 1)) - sf_knn
+    k = sf_knn_idx.shape[0]
+    if layout is not None:
+        # Anchor ids/positions are tuple-uniform: a (K*3, T) table replaces
+        # the (K*3, Np)/(K, Np) per-surfel gathers (~2.6M gather indices at
+        # 480p, ~7 ms of prepare); chunks broadcast per G-block (_geom_of).
+        tk = jnp.take(gp_t, layout.tuple_nodes.T, axis=-1)  # (3, K, T)
+        tuple_knn = jnp.moveaxis(tk, 0, 1).reshape(
+            3 * k, layout.tuple_nodes.shape[0])
+        sf_knn_idx = None
+        sf_knn = None
+        sf_diff = None
+    else:
+        tuple_knn = None
+        # Packed anchors: row k*3+d of sf_knn is coordinate d of anchor k.
+        npts = sf_knn_idx.shape[-1]
+        sf_knn = jnp.take(gp_t, sf_knn_idx, axis=-1)  # (3, K, Np), 1 gather
+        sf_knn = jnp.moveaxis(sf_knn, 0, 1).reshape(3 * k, npts)  # k-major
+        sf_diff = jnp.tile(sf_points, (k, 1)) - sf_knn
 
     ed_knn_idx = graph.knn_idx
     d_eds = graph.points[:, None, :] - graph.points[ed_knn_idx]
@@ -163,8 +183,10 @@ def prepare_lm(cfg: SuPerConfig, surfels: SurfelState, graph: GraphState,
         sf_mask=sf_mask,
         sf_knn_idx=sf_knn_idx,
         sf_knn_w=sf_knn_w,
+        sf_points=sf_points,
         sf_knn=sf_knn,
         sf_diff=sf_diff,
+        tuple_knn=tuple_knn,
         trg_points=frame.points,
         trg_norms=frame.norms,
         trg_index_map=index_map,
@@ -197,8 +219,15 @@ def _chunk_xs(ctx: LMContext, chunk: int):
     if ctx.layout is not None:
         bpc = chunk // ctx.layout.pad_group_of(np_cap)
         bt = ctx.layout.block_tuple.reshape(nc, bpc)
-    else:
-        bt = jnp.zeros((nc, 1), jnp.int32)
+        # Tuple mode: anchors ride as per-block tuple ids (bt); chunks
+        # rebuild knn/diff by broadcast from ctx.tuple_knn (_geom_of).
+        return (
+            ctx.sf_mask.reshape(nc, chunk),
+            split(ctx.sf_knn_w),
+            split(ctx.sf_points),
+            bt,
+        ), nc
+    bt = jnp.zeros((nc, 1), jnp.int32)
     return (
         ctx.sf_mask.reshape(nc, chunk),
         split(ctx.sf_knn_idx),
@@ -217,11 +246,10 @@ def _beta_k_of(ctx: LMContext, beta_t, xs_elem):
     gather indices than the per-surfel ``beta[knn_idx]`` (which costs
     ~7 ms/iteration at 480p).  Scatter mode falls back to the row gather.
     """
-    mask, idx_fm = xs_elem[0], xs_elem[1]
-    c = mask.shape[-1]
+    c = xs_elem[0].shape[-1]
     if beta_t is None:
         return None  # caller gathers from beta via chunk.knn_idx
-    bt_c = xs_elem[5]                      # (C / G,)
+    bt_c = xs_elem[-1]                     # (C / G,)
     bb = beta_t[bt_c]                      # (C/G, K, 7)
     k = bb.shape[-2]
     g = c // bt_c.shape[-1]
@@ -272,14 +300,39 @@ class Assoc(NamedTuple):
     mask: jnp.ndarray   # (Np,) association validity
 
 
-def _blend_warp_fm(xs_elem, beta_kfm):
+def _geom_of(ctx: LMContext, xs_elem):
+    """Per-chunk geometry: (mask (C,), w_fm (K, C), knn_fm (3K, C),
+    diff_fm (3K, C)).
+
+    Tuple mode carries only (mask, w, points, block-tuple ids) per chunk;
+    the anchor positions broadcast from the tiny per-tuple table
+    (ctx.tuple_knn) -- G-blocks are tuple-pure -- and diff is recomputed
+    in-chunk (fused elementwise, cheaper than the per-surfel gathers the
+    scatter mode pays in prepare_lm)."""
+    if len(xs_elem) == 4:
+        mask, w_fm, pts, bt_c = xs_elem
+        c = mask.shape[-1]
+        b = bt_c.shape[-1]
+        g = c // b
+        kn_b = ctx.tuple_knn[:, bt_c]                   # (3K, B)
+        knn_fm = jnp.broadcast_to(
+            kn_b[:, :, None], (kn_b.shape[0], b, g)).reshape(
+                kn_b.shape[0], c)
+        k = w_fm.shape[0]
+        diff_fm = jnp.tile(pts, (k, 1)) - knn_fm
+        return mask, w_fm, knn_fm, diff_fm
+    mask, _, w_fm, knn_fm, diff_fm = xs_elem[:5]
+    return mask, w_fm, knn_fm, diff_fm
+
+
+def _blend_warp_fm(geom, beta_kfm):
     """Feature-major blended warp of one chunk: (3, C) warped points.
 
     ``beta_kfm=None`` means the identity warp, where the blend collapses to
     ``sum_k w_k (diff_k + g_k)`` (the surfel point itself under normalized
     weights) -- no quaternion math at all.
     """
-    _, _, w_fm, knn_fm, diff_fm = xs_elem[:5]
+    _, w_fm, knn_fm, diff_fm = geom
     k = w_fm.shape[0]
     tp = 0.0
     for a in range(k):
@@ -316,9 +369,10 @@ def associate(cfg: SuPerConfig, ctx: LMContext, beta, intr: Intrinsics,
 
     def one(xs_elem):
         if identity:
-            tp = _blend_warp_fm(xs_elem, None)
+            tp = _blend_warp_fm(_geom_of(ctx, xs_elem), None)
         elif beta_t is not None:
-            tp = _blend_warp_fm(xs_elem, _beta_fm_of(beta_t, xs_elem))
+            tp = _blend_warp_fm(_geom_of(ctx, xs_elem),
+                                _beta_fm_of(beta_t, xs_elem))
         else:  # scatter-mode fallback: per-surfel gather, row-major math
             cv = _chunk_view(xs_elem)
             tpr = transform_quat_t(cv.diff, beta[cv.knn_idx])
@@ -378,7 +432,7 @@ def _beta_fm_of(beta_t, xs_elem):
     Same values as :func:`_beta_k_of` (G-blocks are tuple-pure), laid out
     with the surfel dim LAST so the frozen-jacobian math stays lane-aligned.
     """
-    bt_c = xs_elem[5]                      # (C / G,)
+    bt_c = xs_elem[-1]                     # (C / G,)
     bb = beta_t[bt_c]                      # (B, K, 7)
     b_, k = bb.shape[0], bb.shape[1]
     g = xs_elem[0].shape[-1] // b_
@@ -386,7 +440,7 @@ def _beta_fm_of(beta_t, xs_elem):
                             (k, 7, b_, g)).reshape(k, 7, b_ * g)
 
 
-def frozen_chunk_partial_fm(xs_elem, o_fm, n_fm, amask, beta_kfm,
+def frozen_chunk_partial_fm(geom, o_fm, n_fm, amask, beta_kfm,
                             weight: float, g_per: int):
     """Feature-major frozen jacobian -> per-G-block partial Grams.
 
@@ -399,7 +453,7 @@ def frozen_chunk_partial_fm(xs_elem, o_fm, n_fm, amask, beta_kfm,
 
     Returns (partial (C/G, 28*29), sum(r^2)).
     """
-    mask_c, _, w_fm, knn_fm, diff_fm = xs_elem[:5]
+    mask_c, w_fm, knn_fm, diff_fm = geom
     cdim = mask_c.shape[-1]
     k = w_fm.shape[0]
     rows = []
@@ -434,7 +488,7 @@ def frozen_chunk_partial_fm(xs_elem, o_fm, n_fm, amask, beta_kfm,
     return part.reshape(nb, 28 * 29), jnp.sum(r * r)
 
 
-def _project_sample_fm(cfg, ctx, tp, xs_elem, intr, grad: bool):
+def _project_sample_fm(cfg, ctx, tp, mask_c, intr, grad: bool):
     """Project (3, C) warped points + sample the corner bank, feature-major.
 
     Returns (o, n, mask[, go_u, go_v, gn_u, gn_v]) -- all (3, C) / (C,).
@@ -447,11 +501,11 @@ def _project_sample_fm(cfg, ctx, tp, xs_elem, intr, grad: bool):
         (ctx.trg_index_map.reshape(-1)[coords_c] >= 0)
     out = bilinear_sample_bank_fm(ctx.trg_corner_bank, h, w, v, u,
                                   compute_grad=grad)
-    mask = xs_elem[0] & pair_valid & proj_valid & out[2]
+    mask = mask_c & pair_valid & proj_valid & out[2]
     return (out[0], out[1], mask) + out[3:]
 
 
-def moving_chunk_partial_fm(cfg, ctx, xs_elem, beta_kfm, intr,
+def moving_chunk_partial_fm(cfg, ctx, geom, beta_kfm, intr,
                             weight: float, g_per: int):
     """Feature-major per-iteration (moving-target) jacobian -> partial
     Grams.
@@ -470,12 +524,12 @@ def moving_chunk_partial_fm(cfg, ctx, xs_elem, beta_kfm, intr,
 
     Returns (partial (C/G, 28*29), sum(r^2)).
     """
-    mask_c, _, w_fm, knn_fm, diff_fm = xs_elem[:5]
+    mask_c, w_fm, knn_fm, diff_fm = geom
     cdim = mask_c.shape[-1]
     k = w_fm.shape[0]
-    tp = _blend_warp_fm(xs_elem, beta_kfm)
+    tp = _blend_warp_fm(geom, beta_kfm)
     o, n, mask, go_u, go_v, gn_u, gn_v = _project_sample_fm(
-        cfg, ctx, tp, xs_elem, intr, grad=True)
+        cfg, ctx, tp, mask_c, intr, grad=True)
     d = tp - o
     # dpi^T y for y = [(d . gn) - (n . go)] over the two image axes.
     y0 = jnp.sum(d * gn_u, 0) - jnp.sum(n * go_u, 0)
@@ -617,14 +671,15 @@ def data_chunk_jacobian(cfg: SuPerConfig, ctx: LMContext, chunk: DataChunk,
 def _residual_of(cfg, ctx, beta, beta_t, intr, weight, xs_elem, assoc_elem):
     if beta_t is not None:
         # Tuple layout: lane-aligned feature-major residual passes.
+        geom = _geom_of(ctx, xs_elem)
         beta_kfm = _beta_fm_of(beta_t, xs_elem)
-        tp = _blend_warp_fm(xs_elem, beta_kfm)
+        tp = _blend_warp_fm(geom, beta_kfm)
         if assoc_elem is None:
-            o, n, mask = _project_sample_fm(cfg, ctx, tp, xs_elem, intr,
+            o, n, mask = _project_sample_fm(cfg, ctx, tp, geom[0], intr,
                                             grad=False)
         else:
             o, n, am = assoc_elem
-            mask = xs_elem[0] & am
+            mask = geom[0] & am
         r = weight * jnp.sum(n * (tp - o), 0)
         return jnp.where(mask, r, 0.0), mask
     cv = _chunk_view(xs_elem)
@@ -784,7 +839,15 @@ def _add_blocks(jtj, rows_nodes, cols_nodes, vals):
 
 
 def _jacobian_of(cfg, ctx, beta, beta_t, intr, weight, xs_elem, assoc_elem):
-    cv = _chunk_view(xs_elem)
+    if len(xs_elem) == 4:   # tuple mode: synthesize the row-major view
+        mask, w_fm, knn_fm, diff_fm = _geom_of(ctx, xs_elem)
+        c = mask.shape[-1]
+        cv = DataChunk(mask=mask,
+                       knn_idx=jnp.zeros((c, w_fm.shape[0]), jnp.int32),
+                       knn_w=w_fm.T, knn=knn_fm.T.reshape(c, -1, 3),
+                       diff=diff_fm.T.reshape(c, -1, 3))
+    else:
+        cv = _chunk_view(xs_elem)
     beta_k = _beta_k_of(ctx, beta_t, xs_elem)
     if beta_k is None:
         beta_k = beta[cv.knn_idx]
@@ -838,12 +901,13 @@ def _data_normal_eq_tuple(cfg, ctx, beta, intr, weight, jtj, jtr,
         # Lane-aligned feature-major passes (the row-major (C, K, ...)
         # chunk views pad trailing dims to (8, 128) TPU tiles at every
         # materialization boundary -- ~40% of the pass).
+        geom = _geom_of(ctx, xs_elem)
         beta_kfm = _beta_fm_of(beta_t, xs_elem)
         if assoc_elem is not None:  # frozen association
             o, n, am = assoc_elem
-            return frozen_chunk_partial_fm(xs_elem, o, n, am, beta_kfm,
+            return frozen_chunk_partial_fm(geom, o, n, am, beta_kfm,
                                            weight, g_per)
-        return moving_chunk_partial_fm(cfg, ctx, xs_elem, beta_kfm, intr,
+        return moving_chunk_partial_fm(cfg, ctx, geom, beta_kfm, intr,
                                        weight, g_per)
 
     if sol.assembly_backend == "pallas" and beta.dtype == jnp.float32:

@@ -32,7 +32,8 @@ from super_tpu.core.tracker import StepOutputs
 from super_tpu.core.warp import apply_deformation
 from super_tpu.geometry.camera import Intrinsics, project_points
 
-_SURFEL_FIELDS = ("sf_mask", "sf_knn_idx", "sf_knn_w", "sf_knn", "sf_diff")
+_SURFEL_FIELDS = ("sf_mask", "sf_knn_idx", "sf_knn_w", "sf_points",
+                  "sf_knn", "sf_diff")
 
 
 def shard_ctx(ctx: LMContext, axis_name: str, num_shards: int) -> LMContext:
@@ -52,6 +53,8 @@ def shard_ctx(ctx: LMContext, axis_name: str, num_shards: int) -> LMContext:
     repl = {}
     for name in _SURFEL_FIELDS:
         arr = getattr(ctx, name)
+        if arr is None:   # tuple mode: anchors live in per-tuple tables
+            continue
         local = arr.shape[-1] // num_shards
         repl[name] = jax.lax.dynamic_slice_in_dim(arr, idx * local, local,
                                                   arr.ndim - 1)

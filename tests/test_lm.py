@@ -327,7 +327,9 @@ def test_frozen_jacobian_direct_form(scene, tracker0):
 
     cfg, intr, seq, frames = scene
     st = tracker0
-    ctx = prepare_lm(cfg, st.surfels, st.graph, frames[1])
+    # Scatter-mode ctx: it carries the explicit per-surfel knn fields the
+    # row-major DataChunk view needs (tuple mode holds them per tuple).
+    ctx = prepare_lm(_scatter_cfg(cfg), st.surfels, st.graph, frames[1])
     xs, nc = _chunk_xs(ctx, ctx.sf_mask.shape[0])
     cv = _chunk_view(jax.tree.map(lambda a: a[0] if nc == 1 else a, xs))
     j_cap = cfg.capacity.node_capacity
