@@ -96,16 +96,18 @@ def test_no_pair_overflow_at_default_caps(scene):
 
 def test_broadcast_beta_matches_gather(scene):
     """Tuple-broadcast beta_k must equal the per-surfel gather exactly."""
-    from super_tpu.core.losses import _beta_k_of, _chunk_view, _chunk_xs
+    from super_tpu.core.losses import _beta_k_of, _chunk_xs
 
     cfg, intr, frames, state, beta = scene
     ctx = prepare_lm(cfg, state.surfels, state.graph, frames[1])
     assert ctx.layout is not None
     xs, nc = _chunk_xs(ctx, ctx.sf_mask.shape[0])
     xs0 = jax.tree.map(lambda a: a[0] if nc == 1 else a, xs)
-    cv = _chunk_view(xs0)
     beta_t = beta[ctx.layout.tuple_nodes]
     bk = _beta_k_of(ctx, beta_t, xs0)
-    ref = beta[cv.knn_idx]
+    # Reference: the per-surfel gather the broadcast replaced -- each padded
+    # slot's anchors via src_of (tuple mode no longer carries sf_knn_idx).
+    knn_slot = state.surfels.knn_idx[:, ctx.layout.src_of]      # (K, Np)
+    ref = beta[knn_slot.T]
     sel = np.asarray(ctx.sf_mask)
     np.testing.assert_array_equal(np.asarray(bk)[sel], np.asarray(ref)[sel])
