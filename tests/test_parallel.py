@@ -128,6 +128,43 @@ def test_sharded_lm_solve_matches_single_mid_deformation(scene):
                                np.asarray(res_ref.beta) / scale, atol=5e-3)
 
 
+def test_sharded_dense_memory_path_descends(scene):
+    """The dense-ED-graph memory configuration (bf16 JTJ accumulators +
+    block-Jacobi PCG -- the mesh_step 16 / J=2048 path that needs either
+    bf16 or sharding to fit one v5e) must also run SHARDED: surfel-sliced
+    assembly, psum of the bf16 (7J, 7J) accumulator, PCG on the reduced
+    system.  Checks descent on a genuinely deformed frame."""
+    import dataclasses
+
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from super_tpu.core.losses import total_cost
+    from super_tpu.geometry.quaternion import IDENTITY_DQ
+    from super_tpu.parallel.sharded import shard_ctx
+
+    cfg, intr, seq, frames = scene
+    cfg = cfg.replace(solver=dataclasses.replace(
+        cfg.solver, jtj_dtype="bf16", linear_solver="pcg",
+        pcg_iterations=24))
+    state = init_tracker(cfg, frames[0])
+    ctx = prepare_lm(cfg, state.surfels, state.graph, frames[2])
+    j_cap = cfg.capacity.node_capacity
+    beta0 = jnp.tile(IDENTITY_DQ[None], (j_cap, 1))
+    cost0 = float(total_cost(cfg, ctx, beta0, intr))
+
+    mesh = make_mesh(num_streams=1, num_shards=8)
+
+    def local(c):
+        c = shard_ctx(c, "shard", 8)
+        return lm_solve(cfg, c, intr, axis_name="shard")
+
+    res = jax.jit(shard_map(local, mesh=mesh, in_specs=(P(),),
+                            out_specs=P(), check_rep=False))(ctx)
+    assert np.isfinite(float(res.cost))
+    assert float(res.cost) < 0.5 * cost0, (float(res.cost), cost0)
+
+
 def test_multichip_step_matches_single(scene):
     """Full sharded step vs single-device batched step: aggregate state
     statistics agree (slot-exact equality is chaotic -- the near-zero-cost
