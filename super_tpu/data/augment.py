@@ -41,8 +41,8 @@ def color_jitter(rng: np.random.Generator, img: np.ndarray,
     u = np.array([1.0, 1.0, 1.0]) / np.sqrt(3)
     k = np.array([[0, -u[2], u[1]], [u[2], 0, -u[0]], [-u[1], u[0], 0]])
     rot = np.eye(3) + np.sin(theta) * k + (1 - np.cos(theta)) * (k @ k)
-    out = out @ rot.T
-    return np.clip(out, 0.0, 1.0)
+    out = out @ rot.T.astype(np.float32)
+    return np.clip(out, 0.0, 1.0).astype(np.float32)
 
 
 def augment_stereo_frame(

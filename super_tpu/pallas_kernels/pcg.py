@@ -172,38 +172,21 @@ def _pairs_cg_kernel(blk_ref, blkt_ref, n1_ref, n2_ref, minv_ref, b_ref,
     jax.lax.fori_loop(0, iterations, cg_body, rz0)
 
 
-@functools.partial(jax.jit, static_argnames=("iterations", "interpret"))
-def pairs_cg_pallas(blk_pad, blkt_pad, n1, n2, minv_pad, b_fm, u, x0_fm=None,
-                    *, iterations: int = 32, interpret: bool = False):
-    """Block-Jacobi PCG on pair-sparse normal equations in ONE kernel.
+def _pairs_cg_call(blk_pad, blkt_pad, n1, n2, minv8, b8, x08, u,
+                   *, iterations: int, interpret: bool):
+    """One unbatched kernel launch (shapes already 8/128-padded).
 
-    Args:
-      blk_pad, blkt_pad: (64, P) padded pair blocks (row 8g+s = B[s,g] and
-        B[g,s]; see core/lm.py:_pairs_fused_solve).
-      n1, n2: (P,) int32 node ids of each pair (>= J for the sink).
-      minv_pad: (64, J) padded inverse diagonal blocks.
-      b_fm: (7, J) feature-major right-hand side.
-      u: () damping added to the matvec diagonal.
-    Returns: (7, J) solution.
+    ``sequential_vmap``: a vmapped call (multi-stream batching) lowers to a
+    ``lax.map`` over the batch -- each launch's block specs stay rank-2 as
+    the kernel requires.  Sequential is the honest semantics anyway: the
+    kernel already fills the chip, so batched streams gain nothing from a
+    batched launch here.
     """
-    if jax.default_backend() != "tpu":
-        interpret = True  # CPU test harness runs the kernel interpreted
-    j = b_fm.shape[1]
     p_cap = blk_pad.shape[1]
-    jp = -(-j // 128) * 128
-    b8 = jnp.zeros((8, jp), jnp.float32).at[:7, :j].set(
-        b_fm.astype(jnp.float32))
-    if x0_fm is None:
-        x08 = jnp.zeros((8, jp), jnp.float32)
-    else:
-        x08 = jnp.zeros((8, jp), jnp.float32).at[:7, :j].set(
-            x0_fm.astype(jnp.float32))
-    minv8 = jnp.zeros((64, jp), jnp.float32).at[:, :j].set(
-        minv_pad.astype(jnp.float32))
-
+    jp = b8.shape[1]
     kernel = functools.partial(_pairs_cg_kernel, iterations=iterations)
     vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
-    x = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         in_specs=[vspec] * 7 + [pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=vspec,
@@ -218,37 +201,61 @@ def pairs_cg_pallas(blk_pad, blkt_pad, n1, n2, minv_pad, b_fm, u, x0_fm=None,
             pltpu.VMEM((8, p_cap), jnp.float32),   # gathered-x scratch
         ],
         interpret=interpret,
-    )(blk_pad.astype(jnp.float32), blkt_pad.astype(jnp.float32),
-      n1.reshape(1, p_cap), n2.reshape(1, p_cap), minv8, b8, x08,
-      jnp.asarray(u, jnp.float32).reshape(1))
-    return x[:7, :j]
+    )(blk_pad, blkt_pad, n1.reshape(1, p_cap), n2.reshape(1, p_cap),
+      minv8, b8, x08, u.reshape(1))
 
 
-@functools.partial(jax.jit, static_argnames=("iterations", "row_block",
-                                             "interpret"))
-def pcg_pallas(a, b, *, iterations: int = 32, row_block: int = 256,
-               interpret: bool = False):
-    """Solve ``a @ x = b`` (a symmetric PD, unit-ish diagonal) by fused CG.
+_pairs_cg_call_seq = {}  # (iterations, interpret) -> sequential_vmap'd fn
+
+
+@functools.partial(jax.jit, static_argnames=("iterations", "interpret"))
+def pairs_cg_pallas(blk_pad, blkt_pad, n1, n2, minv_pad, b_fm, u, x0_fm=None,
+                    *, iterations: int = 32, interpret: bool = False):
+    """Block-Jacobi PCG on pair-sparse normal equations in ONE kernel.
 
     Args:
-      a: (dim, dim) float32, symmetric.  Padded internally to a multiple of
-        ``row_block`` (zero padding; CG iterates stay exactly zero in the
-        padded coordinates because r0 = b is zero there).
-      b: (dim,) float32.
-    Returns: (dim,) float32 solution after ``iterations`` CG steps.
+      blk_pad, blkt_pad: (64, P) padded pair blocks (row 8g+s = B[s,g] and
+        B[g,s]; see core/lm.py:_pairs_fused_solve).
+      n1, n2: (P,) int32 node ids of each pair (>= J for the sink).
+      minv_pad: (64, J) padded inverse diagonal blocks.
+      b_fm: (7, J) feature-major right-hand side.
+      u: () damping added to the matvec diagonal.
+    Returns: (7, J) solution.
+
+    vmap-safe: batched calls run the kernel once per batch element
+    (sequential_vmap) -- see _pairs_cg_call.
     """
     if jax.default_backend() != "tpu":
         interpret = True  # CPU test harness runs the kernel interpreted
-    dim = a.shape[0]
-    lcm = max(row_block, 128)
-    dim_p = -(-dim // lcm) * lcm
-    if dim_p != dim:
-        a = jnp.pad(a, ((0, dim_p - dim), (0, dim_p - dim)))
-        b = jnp.pad(b, (0, dim_p - dim))
+    j = b_fm.shape[1]
+    jp = -(-j // 128) * 128
+    b8 = jnp.zeros((8, jp), jnp.float32).at[:7, :j].set(
+        b_fm.astype(jnp.float32))
+    if x0_fm is None:
+        x08 = jnp.zeros((8, jp), jnp.float32)
+    else:
+        x08 = jnp.zeros((8, jp), jnp.float32).at[:7, :j].set(
+            x0_fm.astype(jnp.float32))
+    minv8 = jnp.zeros((64, jp), jnp.float32).at[:, :j].set(
+        minv_pad.astype(jnp.float32))
 
+    key = (iterations, interpret)
+    if key not in _pairs_cg_call_seq:
+        _pairs_cg_call_seq[key] = jax.custom_batching.sequential_vmap(
+            functools.partial(_pairs_cg_call, iterations=iterations,
+                              interpret=interpret))
+    x = _pairs_cg_call_seq[key](
+        blk_pad.astype(jnp.float32), blkt_pad.astype(jnp.float32),
+        n1, n2, minv8, b8, x08, jnp.asarray(u, jnp.float32))
+    return x[:7, :j]
+
+
+def _pcg_call(a, b2, *, iterations: int, row_block: int, interpret: bool):
+    """One unbatched dense-CG launch (sequential under vmap, as above)."""
+    dim_p = a.shape[0]
     kernel = functools.partial(_pcg_kernel, iterations=iterations,
                                row_block=row_block)
-    x = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),       # A stays in HBM
@@ -264,5 +271,40 @@ def pcg_pallas(a, b, *, iterations: int = 32, row_block: int = 256,
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(a, b.reshape(1, dim_p))
+    )(a, b2)
+
+
+_pcg_call_seq = {}
+
+
+@functools.partial(jax.jit, static_argnames=("iterations", "row_block",
+                                             "interpret"))
+def pcg_pallas(a, b, *, iterations: int = 32, row_block: int = 256,
+               interpret: bool = False):
+    """Solve ``a @ x = b`` (a symmetric PD, unit-ish diagonal) by fused CG.
+
+    Args:
+      a: (dim, dim) float32, symmetric.  Padded internally to a multiple of
+        ``row_block`` (zero padding; CG iterates stay exactly zero in the
+        padded coordinates because r0 = b is zero there).
+      b: (dim,) float32.
+    Returns: (dim,) float32 solution after ``iterations`` CG steps.
+
+    vmap-safe via sequential_vmap (one launch per batch element).
+    """
+    if jax.default_backend() != "tpu":
+        interpret = True  # CPU test harness runs the kernel interpreted
+    dim = a.shape[0]
+    lcm = max(row_block, 128)
+    dim_p = -(-dim // lcm) * lcm
+    if dim_p != dim:
+        a = jnp.pad(a, ((0, dim_p - dim), (0, dim_p - dim)))
+        b = jnp.pad(b, (0, dim_p - dim))
+
+    key = (iterations, row_block, interpret)
+    if key not in _pcg_call_seq:
+        _pcg_call_seq[key] = jax.custom_batching.sequential_vmap(
+            functools.partial(_pcg_call, iterations=iterations,
+                              row_block=row_block, interpret=interpret))
+    x = _pcg_call_seq[key](a, b.reshape(1, dim_p))
     return x[0, :dim]

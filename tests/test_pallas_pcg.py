@@ -148,3 +148,38 @@ def test_lm_descends_with_pcg_pallas():
     # Same accept/reject path and comparable final cost as Cholesky.
     np.testing.assert_allclose(float(res.cost), float(res_ref.cost),
                                rtol=0.05)
+
+
+def test_pcg_kernels_vmap_safe():
+    """Batched (multi-stream) solves must lower via sequential_vmap instead
+    of breaking the kernels' block specs -- regression for the streams>1
+    bench crash ('block shape ... divisible by 8 and 128' on the batched
+    SMEM scalar)."""
+    dim = 128
+    rng = np.random.default_rng(5)
+    a = np.stack([_spd(dim, seed=s, cond=20.0) for s in (0, 1)]).astype(
+        np.float32)
+    b = rng.standard_normal((2, dim)).astype(np.float32)
+    x = jax.vmap(lambda ai, bi: pcg_pallas(ai, bi, iterations=80,
+                                           row_block=128))(
+        jnp.asarray(a), jnp.asarray(b))
+    for i in range(2):
+        x_ref = np.linalg.solve(a[i].astype(np.float64),
+                                b[i].astype(np.float64))
+        np.testing.assert_allclose(np.asarray(x[i]), x_ref, rtol=5e-3,
+                                   atol=5e-4)
+
+
+def test_lm_pairs_fused_vmap_batches():
+    """Full lm_solve with the pairs_fused kernel under vmap (the
+    multi-stream batch path of parallel/sharded.make_batched_step)."""
+    cfg, intr, seq, frames = tiny_scene(num_frames=3)
+    cfg_sp = _pairs_cfg(cfg, pcg_iterations=48)
+    state = init_tracker(cfg_sp, frames[0])
+    ctx = prepare_lm(cfg_sp, state.surfels, state.graph, frames[2])
+    ctxs = jax.tree.map(lambda x: jnp.broadcast_to(x[None], (2,) + x.shape),
+                        ctx)
+    res = jax.jit(jax.vmap(lambda c: lm_solve(cfg_sp, c, intr)))(ctxs)
+    costs = np.asarray(res.cost)
+    assert np.isfinite(costs).all()
+    np.testing.assert_allclose(costs[0], costs[1], rtol=1e-6)
