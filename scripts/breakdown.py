@@ -243,7 +243,12 @@ def main():
                 # data-dependent on the perturbed leaf out of the timing
                 # loop (e.g. the tuple-layout build depends only on int
                 # knn_idx / bool active and was silently hoisted).
-                zi = (d.astype(jnp.int32) * 0)
+                # The zero MUST be produced by a float multiply (d * 0.0 is
+                # not foldable -- d could be NaN/Inf); an int multiply
+                # (d.astype(int32) * 0) IS folded to the constant 0 by the
+                # XLA algebraic simplifier, which un-perturbs every int/bool
+                # leaf and re-hoists their dependents.
+                zi = (d * 0.0).astype(jnp.int32)
 
                 def bump(a):
                     if not hasattr(a, "dtype"):
