@@ -54,9 +54,20 @@ def main():
 
     from super_tpu.ops.knn import masked_knn
 
+    fbank_bf = fbank.astype(jnp.bfloat16)
     runs = {
         "gather17": lambda d: jnp.sum(
             jnp.take(fbank + d * 0, sf_pix, axis=-1)),
+        "gather17_bf16": lambda d: jnp.sum(
+            jnp.take(fbank_bf + d.astype(jnp.bfloat16) * 0, sf_pix,
+                     axis=-1).astype(jnp.float32)),
+        "gather8": lambda d: jnp.sum(
+            jnp.take(fbank[:8] + d * 0, sf_pix, axis=-1)),
+        "gather1": lambda d: jnp.sum(
+            jnp.take(fbank[0] + d * 0, sf_pix, axis=-1)),
+        "gather28": lambda d: jnp.sum(
+            jnp.take(jnp.concatenate([fbank, fbank[:11]]) + d * 0,
+                     sf_pix, axis=-1)),
         "scatmin": lambda d: jnp.sum(
             jnp.full((p,), 4, jnp.int32).at[sf_pix].min(
                 layer + (d * 0).astype(jnp.int32))),

@@ -97,48 +97,63 @@ def build_tuple_layout(knn_idx, active, node_cap: int, *, tuple_cap: int,
         jnp.ones((1,), dtype=bool),
         (k1s[1:] != k1s[:-1]) | (k2s[1:] != k2s[:-1]),
     ])
-    tid_raw = jnp.cumsum(new_tuple) - 1
-    in_range = tid_raw < tuple_cap - 1
-    tid_sorted = jnp.clip(tid_raw, 0, tuple_cap - 1).astype(jnp.int32)
-    # Active surfels pushed past the sink boundary lose their residuals --
-    # surface the count so undersized tuple caps are visible (StepOutputs).
-    overflow_count = jnp.sum((~in_range) & active[perm]).astype(jnp.int32)
+    tid_raw = (jnp.cumsum(new_tuple) - 1).astype(jnp.int32)
 
-    # Tuple sizes and G-aligned padded bases.
-    ones = jnp.ones((n,), dtype=jnp.int32)
-    sizes = jnp.zeros((tuple_cap,), dtype=jnp.int32).at[tid_sorted].add(ones)
+    # Everything below is GATHER-formulated: tid_raw is sorted ascending, so
+    # per-tuple facts come from one searchsorted instead of the N-element
+    # conflict scatters of the naive construction (sizes .add, tuple_nodes
+    # .set, src_of .set) -- those cost ~5 ns/element on TPU and dominated
+    # the layout build (~30 of 49 ms at 480p).
+    tids = jnp.arange(tuple_cap, dtype=jnp.int32)
+    first_pos = jnp.searchsorted(tid_raw, tids).astype(jnp.int32)   # (T,)
+    sizes = jnp.diff(jnp.concatenate(
+        [first_pos, jnp.asarray([n], jnp.int32)]))                  # (T,)
+
+    # Active surfels sort strictly before inactive ones (their keys are
+    # < big), so the actives past the sink boundary first_pos[T-1] are
+    # exactly the overflow (their residuals are dropped -- surfaced so an
+    # undersized assembly_tuple_cap is visible in StepOutputs).
+    n_active = jnp.sum(active).astype(jnp.int32)
+    overflow_count = jnp.maximum(n_active - jnp.minimum(
+        first_pos[tuple_cap - 1], n_active), 0)
+
     padded_sizes = ((sizes + pad_group - 1) // pad_group) * pad_group
-    pbase = jnp.concatenate([jnp.zeros((1,), jnp.int32),
-                             jnp.cumsum(padded_sizes)[:-1].astype(jnp.int32)])
-    base = jnp.concatenate([jnp.zeros((1,), jnp.int32),
-                            jnp.cumsum(sizes)[:-1].astype(jnp.int32)])
-
-    pos_in_tuple = jnp.arange(n, dtype=jnp.int32) - base[tid_sorted]
-    dest = pbase[tid_sorted] + pos_in_tuple
+    pend = jnp.cumsum(padded_sizes).astype(jnp.int32)
+    pbase = pend - padded_sizes
 
     # Padded capacity: multiple of the streaming chunk (which itself must be
     # a multiple of pad_group) so chunked scans tile exactly.
     assert chunk % pad_group == 0
     np_cap = ((n + tuple_cap * pad_group + chunk - 1) // chunk) * chunk
-    src_of = jnp.full((np_cap,), n, dtype=jnp.int32).at[
-        jnp.where(in_range, dest, np_cap)].set(perm.astype(jnp.int32),
-                                               mode="drop")
-    slot_valid = src_of < n
-    src_of = jnp.where(slot_valid, src_of, 0)
 
     # Tuple id per G-block: block b covers slots [bG, (b+1)G) which lie in
     # one tuple; identify it via searchsorted over padded run ends.
-    pend = jnp.cumsum(padded_sizes)
     block_starts = jnp.arange(np_cap // pad_group, dtype=jnp.int32) * pad_group
     block_tuple = jnp.searchsorted(pend, block_starts, side="right")
     block_tuple = jnp.clip(block_tuple, 0, tuple_cap - 1).astype(jnp.int32)
 
-    # Node ids per tuple (channel-wise rank-1 scatters).
-    cols = []
-    for kk in range(k):
-        cols.append(jnp.zeros((tuple_cap,), dtype=jnp.int32).at[
-            tid_sorted].set(knn_idx[kk][perm], mode="drop"))
-    tuple_nodes = jnp.stack(cols, axis=1)
+    # Slot -> source surfel by gather: slot i of block b (tuple t) holds the
+    # sorted position first_pos[t] + (i - pbase[t]); slots past the tuple's
+    # real size are padding, and every slot of the sink tuple T-1 is masked
+    # (its members' residuals are dropped by design).
+    rank0 = block_starts - pbase[block_tuple]              # (B,)
+    pos0 = first_pos[block_tuple] + rank0
+    cnt = sizes[block_tuple]
+    offs = jnp.arange(pad_group, dtype=jnp.int32)
+    rank = rank0[:, None] + offs[None, :]                  # (B, G)
+    valid = (rank < cnt[:, None]) & \
+        (block_tuple[:, None] < tuple_cap - 1)
+    pos = jnp.clip(pos0[:, None] + offs[None, :], 0, n - 1)
+    slot_valid = valid.reshape(-1)
+    src_of = jnp.where(slot_valid, perm[pos.reshape(-1)], 0)
+
+    # Node ids per tuple: all members of a tuple share the same 4 anchors
+    # (that IS the tuple key), so gather any member -- the last, to match
+    # the scatter formulation's last-writer-wins on the sink tuple.
+    last_pos = jnp.clip(first_pos + sizes - 1, 0, n - 1)
+    member = perm[last_pos]                                # (T,)
+    tuple_nodes = jnp.where(sizes[:, None] > 0,
+                            knn_idx[:, member].T.astype(jnp.int32), 0)
 
     pair_fields = (None,) * 5
     if pair_cap > 0:
