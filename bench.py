@@ -2,12 +2,15 @@
 """Benchmark: ED-graph LM tracking throughput on the local accelerator.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
 
 Workload (reference scale, SURVEY.md section 6): 480x640 frames,
 mesh_step_size 30 (J = 336 ED nodes), 10 LM iterations/frame, point-plane +
 ARAP + rot losses, full fusion -- the per-frame step of run_super.py,
-batched over concurrent streams on one chip.
+batched over concurrent streams on one chip.  The default sweep also
+reports ``per_iteration_hz`` (reference re-sampling semantics) and
+``dense_mesh16_hz`` (mesh_step 16, J = 2048: the dense ED graph with bf16
+JTJ + block-Jacobi PCG -- the config that OOMed a single v5e in round 1).
 
 vs_baseline: per-stream frame rate / 30 Hz (the north-star real-time budget;
 the reference publishes no speed numbers).
@@ -16,15 +19,170 @@ the reference publishes no speed numbers).
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import json
 import time
 
 
+def build_workload(args, mesh_step: int, association: str):
+    """Config + initial state + two preloaded frames for one workload."""
+    import jax
+    import jax.numpy as jnp
+
+    from super_tpu.config import CapacityConfig, SuPerConfig
+    from super_tpu.core.graph import grid_layout
+    from super_tpu.core.preprocess import preprocess_frame
+    from super_tpu.core.tracker import init_tracker
+    from super_tpu.data.synthetic import default_intrinsics, generate
+
+    h, w = args.height, args.width
+    anchors, _, _ = grid_layout(h, w, mesh_step)
+
+    def round64(n):
+        # Multiple of 64, not pow2: the ED graph never grows past the
+        # frame-0 grid and the 7J Cholesky is cubic in the capacity.
+        return max(64, -(-n // 64) * 64)
+
+    node_cap = round64(len(anchors))
+    chunk = 32768
+    surfel_cap = -(-int(1.25 * h * w) // chunk) * chunk  # headroom, aligned
+    cfg = SuPerConfig(
+        height=h, width=w, mesh_step_size=mesh_step,
+        capacity=CapacityConfig(
+            surfel_capacity=surfel_cap,
+            node_capacity=node_cap,
+            edge_capacity=4 * node_cap,
+            triangle_capacity=2 * node_cap,
+        ),
+    )
+    solver_kw = dict(association=association)
+    if node_cap > 512:
+        # Dense ED graph (mesh_step 16-ish): more distinct anchor
+        # tuples, and the 7J Cholesky loses to block-Jacobi PCG.
+        solver_kw.update(assembly_tuple_cap=8 * node_cap,
+                         linear_solver="pcg", jtj_dtype="bf16")
+    elif association == "per_frame":
+        # ~1.8k distinct anchor tuples at 480p/J=336: cap 2048 halves
+        # the segment-sum one-hot and trims a padded jac chunk (the
+        # overflow counter in StepOutputs guards the margin).
+        # Frozen association tolerates the inexact-Newton solve: the
+        # pair-sparse fused-CG kernel (warm-started, 32 iterations)
+        # matches Cholesky accuracy at ~1/3 the per-iteration cost.
+        # per_iteration keeps the exact Cholesky (reference-fidelity
+        # trajectories are solve-tolerance-sensitive there).
+        solver_kw.update(assembly_tuple_cap=2048,
+                         linear_solver="pairs_fused", pcg_iterations=32,
+                         gram_sum_dtype="bf16")
+    else:
+        solver_kw.update(assembly_tuple_cap=2048)
+    cfg = cfg.replace(solver=dataclasses.replace(cfg.solver, **solver_kw))
+    intr = default_intrinsics(h, w)
+
+    seq = generate(3, h, w, intr=intr)
+    pre = jax.jit(lambda d, c, t: preprocess_frame(cfg, intr, d, c, t))
+    frames = [pre(jnp.asarray(seq.depths[t]),
+                  jnp.asarray(seq.colors[t].transpose(2, 0, 1)),
+                  jnp.float32(t)) for t in range(3)]
+    state0 = init_tracker(cfg, frames[0])
+    return cfg, intr, state0, frames
+
+
+def measure_step(args, mesh_step: int, association: str, reps: int) -> float:
+    """Frames/s of the full tracked step (device-resident frame loop)."""
+    import jax
+    import jax.numpy as jnp
+
+    from super_tpu.parallel.sharded import make_batched_step
+
+    cfg, intr, state0, frames = build_workload(args, mesh_step, association)
+    b = args.streams
+    bcast = lambda x: jnp.broadcast_to(x[None], (b,) + x.shape)  # noqa: E731
+    states = jax.tree.map(bcast, state0)
+    fbatch = [jax.tree.map(bcast, f) for f in frames[1:]]
+
+    if args.host_loop:
+        # One host dispatch per frame.  Representative of a synchronous
+        # host driver; through the axon remote tunnel each dependent
+        # dispatch pays a ~40-150 ms latency floor that a real TPU host
+        # does not.
+        step = make_batched_step(cfg, intr)
+        st, outs = step(states, fbatch[0])  # warm-up / compile
+        jax.block_until_ready(outs.lm_cost)
+        tic = time.perf_counter()
+        for i in range(reps):
+            st, outs = step(st, fbatch[i % 2])
+        jax.block_until_ready(outs.lm_cost)
+        return b * reps / (time.perf_counter() - tic)
+
+    # Device-resident frame loop: `reps` tracked frames per dispatch
+    # (lax.scan alternating two preloaded frames) -- the throughput of a
+    # production host that prefetches frames asynchronously
+    # (runtime/frame_loader.cpp) instead of blocking per frame.
+    from super_tpu.parallel.sharded import track_step_sharded
+
+    # Stacked (2, ...) frames for the device-resident loop; unbatched when
+    # b == 1 (the scan body then skips the vmap wrapper).
+    f2_src = fbatch if b > 1 else frames[1:]
+    frames2 = jax.tree.map(lambda a, c: jnp.stack([a, c]), f2_src[0],
+                           f2_src[1])
+
+    def one(s, f):
+        return track_step_sharded(cfg, intr, 1, s, f)
+
+    def body(st, ix):
+        fr = jax.tree.map(lambda a: a[ix], frames2)
+        if b == 1:
+            # No vmap wrapper: a unit batch dim still changes
+            # gather/matmul lowerings measurably on TPU.
+            st, outs = one(st, fr)
+        else:
+            st, outs = jax.vmap(one)(st, fr)
+        return st, outs.lm_cost
+
+    @jax.jit
+    def run(st):
+        ixs = jnp.arange(reps, dtype=jnp.int32) % 2
+        st, costs = jax.lax.scan(body, st, ixs)
+        return st, costs
+
+    init_states = states if b > 1 else state0
+    st, costs = run(init_states)            # warm-up / compile
+    jax.device_get(costs)  # host fetch: reliable sync on the tunnel
+    tic = time.perf_counter()
+    st, costs = run(init_states)
+    jax.device_get(costs)
+    return b * reps / (time.perf_counter() - tic)
+
+
+def measure_lm(args, reps: int) -> float:
+    """Pure LM frame-solves/s (10 damped GN iterations, no fusion)."""
+    import jax
+
+    from super_tpu.core.lm import lm_solve
+    from super_tpu.core.losses import prepare_lm
+
+    cfg, intr, state0, frames = build_workload(
+        args, args.mesh_step_size, args.association or "per_frame")
+    import jax.numpy as jnp
+    b = args.streams
+    bcast = lambda x: jnp.broadcast_to(x[None], (b,) + x.shape)  # noqa: E731
+    ctx = prepare_lm(cfg, state0.surfels, state0.graph, frames[1])
+    ctxs = jax.tree.map(bcast, ctx)
+    solve = jax.jit(jax.vmap(lambda c: lm_solve(cfg, c, intr)))
+    res = solve(ctxs)
+    jax.block_until_ready(res.cost)
+    tic = time.perf_counter()
+    for _ in range(reps):
+        res = solve(ctxs)
+    jax.block_until_ready(res.cost)
+    return b * reps / (time.perf_counter() - tic)
+
+
 def main():
     ap = argparse.ArgumentParser()
-    # vmapped multi-stream batching currently scales sub-linearly on a
-    # single chip (the step is serial-op bound, not FLOP bound), so the
-    # default measures the strongest single-stream configuration.
+    # vmapped multi-stream batching scales sub-linearly on a single chip
+    # (the 480p step saturates the chip; see README "Multi-stream scaling"),
+    # so the default measures the strongest single-stream configuration.
     ap.add_argument("--streams", type=int, default=1)
     ap.add_argument("--height", type=int, default=480)
     ap.add_argument("--width", type=int, default=640)
@@ -36,7 +194,10 @@ def main():
                     help="per_frame = projective-ICP association (fast); "
                          "per_iteration = reference resampling semantics. "
                          "Default: benchmark per_frame as the headline and "
-                         "ALSO report per_iteration in the same JSON line.")
+                         "ALSO report per_iteration + the dense mesh-16 "
+                         "config in the same JSON line.")
+    ap.add_argument("--no_dense", action="store_true",
+                    help="skip the dense mesh-16 entry of the default sweep")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--host_loop", action="store_true",
                     help="dispatch one step per frame from the host instead "
@@ -46,157 +207,36 @@ def main():
     import jax
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
-    import jax.numpy as jnp
-
-    from super_tpu.config import CapacityConfig, SuPerConfig
-    from super_tpu.core.graph import grid_layout
-    from super_tpu.core.lm import lm_solve
-    from super_tpu.core.losses import prepare_lm
-    from super_tpu.core.preprocess import preprocess_frame
-    from super_tpu.core.tracker import init_tracker
-    from super_tpu.data.synthetic import default_intrinsics, generate
-    from super_tpu.parallel.sharded import make_batched_step
-
-    h, w = args.height, args.width
-    anchors, _, _ = grid_layout(h, w, args.mesh_step_size)
-
-    def round64(n):
-        # Multiple of 64, not pow2: the ED graph never grows past the
-        # frame-0 grid and the 7J Cholesky is cubic in the capacity.
-        return max(64, -(-n // 64) * 64)
-
-    import dataclasses
-
-    node_cap = round64(len(anchors))
-    chunk = 32768
-    surfel_cap = -(-int(1.25 * h * w) // chunk) * chunk  # headroom, chunk-aligned
-    cfg = SuPerConfig(
-        height=h, width=w, mesh_step_size=args.mesh_step_size,
-        capacity=CapacityConfig(
-            surfel_capacity=surfel_cap,
-            node_capacity=node_cap,
-            edge_capacity=4 * node_cap,
-            triangle_capacity=2 * node_cap,
-        ),
-    )
-    def solver_cfg(association):
-        solver_kw = dict(association=association)
-        if node_cap > 512:
-            # Dense ED graph (mesh_step 16-ish): more distinct anchor
-            # tuples, and the 7J Cholesky loses to block-Jacobi PCG.
-            solver_kw.update(assembly_tuple_cap=8 * node_cap,
-                             linear_solver="pcg", jtj_dtype="bf16")
-        elif association == "per_frame":
-            # Frozen association tolerates the inexact-Newton solve: the
-            # pair-sparse fused-CG kernel (warm-started, 32 iterations)
-            # matches Cholesky accuracy at ~1/3 the per-iteration cost.
-            # per_iteration keeps the exact Cholesky (reference-fidelity
-            # trajectories are solve-tolerance-sensitive there).
-            solver_kw.update(linear_solver="pairs_fused", pcg_iterations=32,
-                             gram_sum_dtype="bf16")
-        return cfg.replace(solver=dataclasses.replace(cfg.solver,
-                                                      **solver_kw))
-
-    associations = ([args.association] if args.association
-                    else ["per_frame", "per_iteration"])
-    cfg = solver_cfg(associations[0])
-    intr = default_intrinsics(h, w)
-
-    seq = generate(3, h, w, intr=intr)
-    pre = jax.jit(lambda d, c, t: preprocess_frame(cfg, intr, d, c, t))
-    frames = [pre(jnp.asarray(seq.depths[t]),
-                  jnp.asarray(seq.colors[t].transpose(2, 0, 1)),
-                  jnp.float32(t)) for t in range(3)]
-    state0 = init_tracker(cfg, frames[0])
-
-    b = args.streams
-    bcast = lambda x: jnp.broadcast_to(x[None], (b,) + x.shape)  # noqa: E731
-    states = jax.tree.map(bcast, state0)
-    fbatch = [jax.tree.map(bcast, f) for f in frames[1:]]
 
     extra = {}
-    if args.mode == "step":
-        # Stacked (2, ...) frames for the device-resident loop; unbatched
-        # when b == 1 (the scan body then skips the vmap wrapper).
-        f2_src = fbatch if b > 1 else frames[1:]
-        frames2 = jax.tree.map(lambda a, c: jnp.stack([a, c]), f2_src[0],
-                               f2_src[1])
-
-        def run_step(assoc_cfg):
-            if args.host_loop:
-                # One host dispatch per frame.  Representative of a
-                # synchronous host driver; through the axon remote tunnel
-                # each dependent dispatch pays a ~40-150 ms latency floor
-                # that a real TPU host does not.
-                step = make_batched_step(assoc_cfg, intr)
-                st, outs = step(states, fbatch[0])  # warm-up / compile
-                jax.block_until_ready(outs.lm_cost)
-                tic = time.perf_counter()
-                for i in range(args.reps):
-                    st, outs = step(st, fbatch[i % 2])
-                jax.block_until_ready(outs.lm_cost)
-                return time.perf_counter() - tic
-
-            # Device-resident frame loop: `reps` tracked frames per dispatch
-            # (lax.scan alternating two preloaded frames) -- the throughput
-            # of a production host that prefetches frames asynchronously
-            # (runtime/frame_loader.cpp) instead of blocking per frame.
-            from super_tpu.parallel.sharded import track_step_sharded
-
-            def one(s, f):
-                return track_step_sharded(assoc_cfg, intr, 1, s, f)
-
-            def body(st, ix):
-                fr = jax.tree.map(lambda a: a[ix], frames2)
-                if b == 1:
-                    # No vmap wrapper: a unit batch dim still changes
-                    # gather/matmul lowerings measurably on TPU.
-                    st, outs = one(st, fr)
-                else:
-                    st, outs = jax.vmap(one)(st, fr)
-                return st, outs.lm_cost
-
-            @jax.jit
-            def run(st):
-                ixs = jnp.arange(args.reps, dtype=jnp.int32) % 2
-                st, costs = jax.lax.scan(body, st, ixs)
-                return st, costs
-
-            init_states = states if b > 1 else state0
-            st, costs = run(init_states)            # warm-up / compile
-            jax.device_get(costs)  # host fetch: reliable sync on the tunnel
-            tic = time.perf_counter()
-            st, costs = run(init_states)
-            jax.device_get(costs)
-            return time.perf_counter() - tic
-
-        dt = run_step(cfg)
-        metric = "tracked frames/s per chip (full step: 10-iter LM + fusion)"
-        if len(associations) > 1:
-            dt2 = run_step(solver_cfg(associations[1]))
-            extra[f"{associations[1]}_hz"] = round(
-                b * args.reps / dt2 / b, 3)
-    else:
-        ctx = prepare_lm(cfg, state0.surfels, state0.graph, frames[1])
-        ctxs = jax.tree.map(bcast, ctx)
-        solve = jax.jit(jax.vmap(lambda c: lm_solve(cfg, c, intr)))
-        res = solve(ctxs)
-        jax.block_until_ready(res.cost)
-        tic = time.perf_counter()
-        for _ in range(args.reps):
-            res = solve(ctxs)
-        jax.block_until_ready(res.cost)
-        dt = time.perf_counter() - tic
+    if args.mode == "lm":
+        frames_per_s = measure_lm(args, args.reps)
         metric = "LM frame-solves/s per chip (10 damped GN iterations)"
+    else:
+        metric = "tracked frames/s per chip (full step: 10-iter LM + fusion)"
+        sweep = args.association is None
+        headline = args.association or "per_frame"
+        frames_per_s = measure_step(args, args.mesh_step_size, headline,
+                                    args.reps)
+        if sweep:
+            extra["per_iteration_hz"] = round(measure_step(
+                args, args.mesh_step_size, "per_iteration",
+                args.reps) / args.streams, 3)
+            if not args.no_dense and args.mesh_step_size > 16:
+                try:
+                    extra["dense_mesh16_hz"] = round(measure_step(
+                        args, 16, "per_frame",
+                        max(6, args.reps // 5)) / args.streams, 3)
+                except Exception as e:  # noqa: BLE001 -- report, keep line
+                    extra["dense_mesh16_error"] = type(e).__name__
 
-    frames_per_s = b * args.reps / dt
-    per_stream_hz = frames_per_s / b
+    per_stream_hz = frames_per_s / args.streams
     print(json.dumps({
         "metric": metric,
         "value": round(frames_per_s, 3),
         "unit": "frames/s/chip",
         "vs_baseline": round(per_stream_hz / 30.0, 4),
-        "streams": b,
+        "streams": args.streams,
         "per_stream_hz": round(per_stream_hz, 3),
         **extra,
     }))

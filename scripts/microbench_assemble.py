@@ -66,8 +66,8 @@ def main():
     partial0 = jax.random.normal(ks[9], (nb, 28 * 29), jnp.float32)
 
     tuple_nodes = jax.random.randint(ks[0], (t_cap, k), 0, j)
-    pr, psc, pd, _ = assembly.build_pair_layout(tuple_nodes, j,
-                                                pair_cap=args.paircap)
+    pr, psc, pd, _, _ = assembly.build_pair_layout(tuple_nodes, j,
+                                                   pair_cap=args.paircap)
     layout = assembly.TupleLayout(
         src_of=jnp.zeros((n,), jnp.int32), slot_valid=jnp.ones((n,), bool),
         block_tuple=block_tuple, tuple_nodes=tuple_nodes,
@@ -113,7 +113,21 @@ def main():
                                          j)
         return jnp.sum(jtj) + jnp.sum(jtr)
 
+    def run_segsum_bf16(d):
+        acc = assembly.segment_sum_matmul(partial0 + d * 0, block_tuple,
+                                          t_cap, sum_dtype="bf16")
+        return jnp.sum(acc)
+
+    def run_reduce_pairs(d):
+        acc = (gram0 + d * 0).reshape(t_cap, 28, 29)
+        pacc, jtr = assembly.reduce_pairs(layout, acc[..., :28],
+                                          acc[..., 28], j,
+                                          sum_dtype="bf16")
+        return jnp.sum(pacc) + jnp.sum(jtr)
+
     for name, fn in (("jac", run_jac), ("segsum", run_segsum),
+                     ("segsum_bf16", run_segsum_bf16),
+                     ("reduce_pairs_bf16", run_reduce_pairs),
                      ("expand", run_expand)):
         ms = loop_time(lambda d, _f=fn: _f(d), jnp.float32(0.0), n_iter=30)
         print(f"{name}: {ms:.2f} ms")

@@ -111,7 +111,69 @@ def main():
                                    rtol=2e-3, atol=2e-3)
         print("values agree")
 
-    for name, f in (("rm", rm), ("fm", fm)):
+    # ---- isolation: rows construction vs the gram einsum ------------------
+    h_const = jax.random.normal(ks[6], (28, n), jnp.float32)
+    r_const = jax.random.normal(ks[7], (n,), jnp.float32)
+
+    def make_gram(gg, bf16=False):
+        nbg = n // gg
+
+        def f(d):
+            h = h_const + d
+            hb = h.reshape(28, nbg, gg)
+            ext = jnp.concatenate([hb, r_const.reshape(1, nbg, gg)], axis=0)
+            if bf16:
+                out = jax.lax.dot_general(
+                    hb.astype(jnp.bfloat16).transpose(1, 0, 2),
+                    ext.astype(jnp.bfloat16).transpose(1, 0, 2),
+                    (((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)
+                return out
+            return jnp.einsum("ing,jng->nij", hb, ext)
+        return f
+
+    stages = [("rm", rm), ("fm", fm)]
+    for gg in (32, 64, 128):
+        if n % gg == 0:
+            stages.append((f"gram{gg}", make_gram(gg)))
+            stages.append((f"gram{gg}_bf16", make_gram(gg, bf16=True)))
+
+    def h_only(d):
+        diff = diff_fm + d
+        rows = []
+        tp_acc = 0.0
+        for a in range(k):
+            v = diff[3 * a:3 * a + 3]
+            ga = knn_fm[3 * a:3 * a + 3]
+            qw = beta_fm[a, 0]
+            qv = beta_fm[a, 1:4]
+            b = beta_fm[a, 4:7]
+            wa = w_fm[a]
+
+            def cross(x, y):
+                return jnp.stack([x[1] * y[2] - x[2] * y[1],
+                                  x[2] * y[0] - x[0] * y[2],
+                                  x[0] * y[1] - x[1] * y[0]])
+            c = cross(qv, v)
+            tv = v + 2.0 * qw[None] * c + 2.0 * cross(qv, c) + b
+            tp_acc = tp_acc + wa[None] * (tv + ga)
+            ndq_w = 2.0 * jnp.sum(nrm_fm * c, 0)
+            qv_dot_v = jnp.sum(qv * v, 0)
+            n_dot_qv = jnp.sum(nrm_fm * qv, 0)
+            n_dot_v = jnp.sum(nrm_fm * v, 0)
+            nxv = cross(nrm_fm, v)
+            ndq_v = 2.0 * (qv_dot_v[None] * nrm_fm + n_dot_qv[None] * v
+                           - 2.0 * n_dot_v[None] * qv - qw[None] * nxv)
+            rows.append(wa[None] * jnp.concatenate(
+                [ndq_w[None], ndq_v, jnp.broadcast_to(nrm_fm, (3, n))],
+                axis=0))
+        r = jnp.sum(nrm_fm * (tp_acc - o_fm), 0)
+        h = jnp.concatenate(rows, axis=0)
+        return jnp.sum(h) + jnp.sum(r)
+
+    stages.append(("h_only", lambda d: h_only(d).reshape(1, 1, 1)))
+
+    for name, f in stages:
         v = loop_time(lambda x, _f=f: _f(x * 0.0)[0, 0, 0], 0.0)
         print(f"{name}: {v:.3f} ms", flush=True)
 
