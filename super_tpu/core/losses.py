@@ -275,16 +275,14 @@ def _project_and_sample(cfg: SuPerConfig, ctx: LMContext, chunk: DataChunk,
     """Project warped chunk surfels, gate on frame validity, bilinear-sample
     the target point/normal maps (loss.py:228-245)."""
     h, w = cfg.height, cfg.width
-    v, u, coords, proj_valid = project_points(trans_points.T, intr, h, w)
-    p = ctx.trg_points.shape[-1]
-    coords_c = jnp.clip(coords, 0, p - 1)
-    pair_valid = (coords >= 0) & (coords < p) & \
-        (ctx.trg_index_map.reshape(-1)[coords_c] >= 0)
-    mask = chunk.mask & pair_valid & proj_valid
-
+    v, u, _, proj_valid = project_points(trans_points.T, intr, h, w)
+    # The reference's index-map-at-rounded-pixel check (loss.py:241) is
+    # implied: the rounded pixel IS one of the 4 bilinear corners, and
+    # ``svalid`` below already requires all 4 corners valid -- so the
+    # 1-row index_map gather (~3.5 ms at 480p) is dropped, mask unchanged.
     new_points, new_norms, svalid, dpdpi, dndpi = bilinear_sample_bank(
         ctx.trg_corner_bank, h, w, v, u, compute_grad=grad)
-    mask = mask & svalid
+    mask = chunk.mask & proj_valid & svalid
     return new_points, new_norms, dpdpi, dndpi, mask
 
 
@@ -365,7 +363,6 @@ def associate(cfg: SuPerConfig, ctx: LMContext, beta, intr: Intrinsics,
     beta_t = (beta[ctx.layout.tuple_nodes] if ctx.layout is not None
               and not identity else None)
     h, w = cfg.height, cfg.width
-    p = ctx.trg_points.shape[-1]
 
     def one(xs_elem):
         if identity:
@@ -377,13 +374,12 @@ def associate(cfg: SuPerConfig, ctx: LMContext, beta, intr: Intrinsics,
             cv = _chunk_view(xs_elem)
             tpr = transform_quat_t(cv.diff, beta[cv.knn_idx])
             tp = jnp.sum(cv.knn_w[..., None] * (tpr + cv.knn), axis=-2).T
-        v, u, coords, proj_valid = project_points(tp, intr, h, w)
-        coords_c = jnp.clip(coords, 0, p - 1)
-        pair_valid = (coords >= 0) & (coords < p) & \
-            (ctx.trg_index_map.reshape(-1)[coords_c] >= 0)
+        v, u, _, proj_valid = project_points(tp, intr, h, w)
+        # Center-pixel index-map check implied by the all-4-corner validity
+        # of the bank sample (see _project_and_sample).
         o, n, svalid = bilinear_sample_bank_fm(ctx.trg_corner_bank, h, w,
                                                v, u)
-        mask = xs_elem[0] & pair_valid & proj_valid & svalid
+        mask = xs_elem[0] & proj_valid & svalid
         return o, n, mask  # (3, C), (3, C), (C,)
 
     if nc == 1:
@@ -494,14 +490,12 @@ def _project_sample_fm(cfg, ctx, tp, mask_c, intr, grad: bool):
     Returns (o, n, mask[, go_u, go_v, gn_u, gn_v]) -- all (3, C) / (C,).
     """
     h, w = cfg.height, cfg.width
-    p = ctx.trg_points.shape[-1]
-    v, u, coords, proj_valid = project_points(tp, intr, h, w)
-    coords_c = jnp.clip(coords, 0, p - 1)
-    pair_valid = (coords >= 0) & (coords < p) & \
-        (ctx.trg_index_map.reshape(-1)[coords_c] >= 0)
+    v, u, _, proj_valid = project_points(tp, intr, h, w)
+    # Center-pixel index-map check implied by the all-4-corner validity of
+    # the bank sample (see _project_and_sample).
     out = bilinear_sample_bank_fm(ctx.trg_corner_bank, h, w, v, u,
                                   compute_grad=grad)
-    mask = mask_c & pair_valid & proj_valid & out[2]
+    mask = mask_c & proj_valid & out[2]
     return (out[0], out[1], mask) + out[3:]
 
 
