@@ -173,7 +173,70 @@ def main():
 
     stages.append(("h_only", lambda d: h_only(d).reshape(1, 1, 1)))
 
+    # ---- all-anchor batched rows: ops on (12, N) / (4, N) arrays ----------
+    # (3, N) ops use 3 of 8 sublanes per vreg; batching the K=4 anchors
+    # into (12, N) rows raises utilization to 12/16.
+    p1 = jnp.asarray([3 * a + [1, 2, 0][i] for a in range(k)
+                      for i in range(3)])
+    p2 = jnp.asarray([3 * a + [2, 0, 1][i] for a in range(k)
+                      for i in range(3)])
+    rep3 = jnp.asarray([a for a in range(k) for _ in range(3)])
+    # h row order: anchor-major [ndqw, ndqv(3), n(3)] -- as a permutation of
+    # concat([hw (4), hv (12), hn (12)]).
+    hperm = []
+    for a in range(k):
+        hperm += [a, 4 + 3 * a, 4 + 3 * a + 1, 4 + 3 * a + 2,
+                  16 + 3 * a, 16 + 3 * a + 1, 16 + 3 * a + 2]
+    hperm = jnp.asarray(hperm)
+
+    def cross12(x, y):
+        return x[p1] * y[p2] - x[p2] * y[p1]
+
+    def gsum(x):  # (12, N) -> (4, N) sum within 3-groups
+        return x[0::3] + x[1::3] + x[2::3]
+
+    def fm12(d):
+        v = diff_fm + d                                 # (12, N)
+        qw4 = beta_fm[:, 0]                             # (4, N)
+        qv = beta_fm[:, 1:4].reshape(12, n)
+        bb = beta_fm[:, 4:7].reshape(12, n)
+        qw = qw4[rep3]                                  # (12, N)
+        n_b = jnp.tile(nrm_fm, (k, 1))                  # (12, N)
+        c = cross12(qv, v)
+        tv = v + 2.0 * qw * c + 2.0 * cross12(qv, c) + bb
+        w12 = w_fm[rep3]
+        s = w12 * (tv + knn_fm)
+        tp = s[0:3] + s[3:6] + s[6:9] + s[9:12]
+        r = jnp.sum(nrm_fm * (tp - o_fm), 0)
+
+        ndq_w = 2.0 * gsum(n_b * c)                     # (4, N)
+        qv_v = gsum(qv * v)
+        n_qv = gsum(n_b * qv)
+        n_v = gsum(n_b * v)
+        nxv = cross12(n_b, v)
+        ndq_v = 2.0 * (qv_v[rep3] * n_b + n_qv[rep3] * v
+                       - 2.0 * n_v[rep3] * qv - qw * nxv)
+        hw = w_fm * ndq_w                               # (4, N)
+        hv = w12 * ndq_v                                # (12, N)
+        hn = w12 * n_b
+        h = jnp.concatenate([hw, hv, hn], axis=0)[hperm]
+        hb = h.reshape(28, nb, g)
+        ext = jnp.concatenate([hb, r.reshape(1, nb, g)], axis=0)
+        return jnp.einsum("ing,jng->nij", hb, ext)
+
+    if args.check:
+        a = jax.jit(fm)(jnp.float32(0.0))
+        b12 = jax.jit(fm12)(jnp.float32(0.0))
+        import numpy as np
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b12),
+                                   rtol=2e-3, atol=2e-3)
+        print("fm12 agrees")
+    stages.append(("fm12", fm12))
+
+    wanted = os.environ.get("JAC_STAGES")
     for name, f in stages:
+        if wanted and name not in wanted.split(","):
+            continue
         v = loop_time(lambda x, _f=f: _f(x * 0.0)[0, 0, 0], 0.0)
         print(f"{name}: {v:.3f} ms", flush=True)
 

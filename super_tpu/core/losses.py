@@ -356,10 +356,17 @@ def associate(cfg: SuPerConfig, ctx: LMContext, beta, intr: Intrinsics,
     the blended transform returns the surfel point itself
     (sum_k w_k (diff_k + g_k) with normalized weights), so the pass is just
     projection + sampling."""
-    # One unchunked pass: the association is gather-bound, so chunking
-    # only multiplies dispatches; its intermediates are (3, Np) slims
-    # (no 28-wide gram buffers), well within HBM at any supported size.
-    xs, nc = _chunk_xs(ctx, ctx.sf_mask.shape[0])
+    # Chunked only to skip the sink/padding suffix (live_end): the pass is
+    # gather-bound and its intermediates are (3, Np) slims, so the chunk
+    # size is large (4x the assembly chunk) to keep loop glue negligible.
+    np_cap = ctx.sf_mask.shape[0]
+    chunk = np_cap
+    if ctx.layout is not None and ctx.layout.live_end is not None:
+        c = min(np_cap, 4 * 65536)
+        while np_cap % c != 0:
+            c //= 2
+        chunk = max(c, 1)
+    xs, nc = _chunk_xs(ctx, chunk)
     beta_t = (beta[ctx.layout.tuple_nodes] if ctx.layout is not None
               and not identity else None)
     h, w = cfg.height, cfg.width
@@ -386,11 +393,26 @@ def associate(cfg: SuPerConfig, ctx: LMContext, beta, intr: Intrinsics,
         o, n, m = one(jax.tree.map(lambda a: a[0], xs))
         return Assoc(o=o, n=n, mask=m)
 
-    def body(_, xs_elem):
-        return None, one(xs_elem)
+    nc_live = _live_chunk_count(ctx, nc, chunk)
+    if nc_live is not None:
+        # Skipped sink/padding chunks stay zero => mask False, as the
+        # full pass would compute for those slots.
+        init = (jnp.zeros((nc, 3, chunk), ctx.sf_points.dtype),
+                jnp.zeros((nc, 3, chunk), ctx.sf_points.dtype),
+                jnp.zeros((nc, chunk), bool))
 
-    _, (os, ns, ms) = jax.lax.scan(body, None, xs)
-    np_cap = ctx.sf_mask.shape[0]
+        def fbody(i, carry):
+            os, ns, ms = carry
+            o, n, m = one(_take_chunk(xs, i))
+            upd = jax.lax.dynamic_update_index_in_dim
+            return (upd(os, o, i, 0), upd(ns, n, i, 0), upd(ms, m, i, 0))
+
+        os, ns, ms = jax.lax.fori_loop(0, nc_live, fbody, init)
+    else:
+        def body(_, xs_elem):
+            return None, one(xs_elem)
+
+        _, (os, ns, ms) = jax.lax.scan(body, None, xs)
     return Assoc(o=jnp.moveaxis(os, 0, 1).reshape(3, np_cap),
                  n=jnp.moveaxis(ns, 0, 1).reshape(3, np_cap),
                  mask=ms.reshape(-1))
@@ -720,6 +742,16 @@ def data_term_cost(cfg: SuPerConfig, ctx: LMContext, beta, intr: Intrinsics,
                             None if axs is None else take0(axs))
         return jnp.sum(r * r)
 
+    nc_live = _live_chunk_count(ctx, nc, chunk)
+    if nc_live is not None:
+        def fbody(i, acc):
+            r, _ = _residual_of(cfg, ctx, beta, beta_t, intr, weight,
+                                _take_chunk(xs, i), _take_chunk(axs, i))
+            return acc + jnp.sum(r * r)
+
+        return jax.lax.fori_loop(0, nc_live, fbody,
+                                 jnp.asarray(0.0, beta.dtype))
+
     def body(acc, elems):
         xs_elem, assoc_elem = elems
         r, _ = _residual_of(cfg, ctx, beta, beta_t, intr, weight, xs_elem,
@@ -728,6 +760,23 @@ def data_term_cost(cfg: SuPerConfig, ctx: LMContext, beta, intr: Intrinsics,
 
     total, _ = jax.lax.scan(body, jnp.asarray(0.0, beta.dtype), (xs, axs))
     return total
+
+
+def _live_chunk_count(ctx: LMContext, nc: int, chunk: int):
+    """Traced number of chunks carrying non-sink content (else static nc).
+
+    Inactive surfels sort into the trailing sink tuple, so chunks past
+    ``layout.live_end`` hold only masked slots whose contributions are
+    exact zeros -- a fori_loop stops there instead of scanning the full
+    static capacity (~15-30% of slots at 480p are sink/padding)."""
+    if ctx.layout is None or ctx.layout.live_end is None:
+        return None
+    le = ctx.layout.live_end
+    return jnp.minimum((le + chunk - 1) // chunk, nc).astype(jnp.int32)
+
+
+def _take_chunk(tree, i):
+    return None if tree is None else jax.tree.map(lambda a: a[i], tree)
 
 
 def _cost_chunk_size(cfg, ctx):
@@ -933,11 +982,26 @@ def _data_normal_eq_tuple(cfg, ctx, beta, intr, weight, jtj, jtr,
         partial, cost = jac_chunk(take0(xs),
                                   None if axs is None else take0(axs))
     else:
-        def scan_body(c, e):
-            part, dc = jac_chunk(*e)
-            return c + dc, part
+        nc_live = _live_chunk_count(ctx, nc, chunk)
+        if nc_live is not None:
+            bpc = chunk // g_per
+            parts0 = jnp.zeros((nc, bpc, 28 * 29), beta.dtype)
 
-        cost, parts = jax.lax.scan(scan_body, zero, (xs, axs))
+            def fbody(i, carry):
+                c, parts = carry
+                part, dc = jac_chunk(_take_chunk(xs, i), _take_chunk(axs, i))
+                parts = jax.lax.dynamic_update_index_in_dim(
+                    parts, part, i, 0)
+                return c + dc, parts
+
+            cost, parts = jax.lax.fori_loop(0, nc_live, fbody,
+                                            (zero, parts0))
+        else:
+            def scan_body(c, e):
+                part, dc = jac_chunk(*e)
+                return c + dc, part
+
+            cost, parts = jax.lax.scan(scan_body, zero, (xs, axs))
         partial = parts.reshape(-1, 28 * 29)
 
     if sol.assembly_combine == "matmul":

@@ -27,7 +27,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_distributed_step():
+def _run_two_process_step():
     port = _free_port()
     env = dict(os.environ)
     # The workers set their own XLA_FLAGS/platform; scrub inherited ones.
@@ -55,3 +55,12 @@ def test_two_process_distributed_step():
     assert len(lines) == 2, outs
     # Both processes observed the same global result.
     assert lines[0].split(" ", 2)[2] == lines[1].split(" ", 2)[2], lines
+
+
+def test_two_process_distributed_step():
+    # One retry: the 2-process rendezvous is load-sensitive (distributed
+    # barrier timeouts when the host is saturated by parallel compiles).
+    try:
+        _run_two_process_step()
+    except AssertionError:
+        _run_two_process_step()
