@@ -91,7 +91,7 @@ def _pcg_kernel(a_hbm, b_ref, x_ref, r_ref, p_ref, ap_ref, a_buf, sems,
 
 def _pairs_cg_kernel(blk_ref, blkt_ref, n1_ref, n2_ref, minv_ref, b_ref,
                      x0_ref, u_ref, x_ref, r_ref, p_ref, z_ref, ap_ref,
-                     oh_ref, t_ref, g_ref, *, iterations: int):
+                     oh1_ref, oh2_ref, t_ref, g_ref, *, iterations: int):
     """PCG on the pair-sparse normal equations, fully VMEM-resident.
 
     Layouts (J = padded node count, P = pair capacity):
@@ -103,16 +103,21 @@ def _pairs_cg_kernel(blk_ref, blkt_ref, n1_ref, n2_ref, minv_ref, b_ref,
         one-hot column).
       minv_ref: (64, J) block-Jacobi inverse in the same band form.
       b/x/r/p/z/ap: (8, J) node-major vectors (row 7 = zero).
-      oh_ref: (J, P) one-hot scratch, regenerated per use -- Pallas cannot
-        gather VMEM rows dynamically, so gathers/scatters between the
-        (8, J) vectors and the (8, P) pair lanes are MXU one-hot products.
+      oh1/oh2_ref: (J, P) one-hot matrices of n1/n2, built ONCE before the
+        loop (they are loop-invariant; regenerating per use cost ~3 VPU
+        fills of J x P per CG iteration) -- Pallas cannot gather VMEM rows
+        dynamically, so gathers/scatters between the (8, J) vectors and
+        the (8, P) pair lanes are MXU one-hot products.
       t_ref: (8, P) pair-lane scratch; g_ref: (8, P) gathered-x scratch.
     """
     u = u_ref[0]
 
-    def onehot(n_ref):
+    def onehot_into(oh_ref, n_ref):
         rows = jax.lax.broadcasted_iota(jnp.int32, oh_ref.shape, 0)
         oh_ref[...] = jnp.where(rows == n_ref[...], 1.0, 0.0)
+
+    onehot_into(oh1_ref, n1_ref)                         # rows of S
+    onehot_into(oh2_ref, n2_ref)                         # columns of S
 
     def band_mv(band_ref, v):
         """(8, N) result: out[i] = sum_d band[8d+i] * v[(i+d) % 8]."""
@@ -125,22 +130,19 @@ def _pairs_cg_kernel(blk_ref, blkt_ref, n1_ref, n2_ref, minv_ref, b_ref,
 
     def matvec():
         """ap <- (S + S^T + u I) p."""
-        onehot(n2_ref)                                   # columns of S
         g_ref[...] = jax.lax.dot_general(
-            p_ref[...], oh_ref[...], (((1,), (0,)), ((), ())),
+            p_ref[...], oh2_ref[...], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)          # p[n2] as (8, P)
         t_ref[...] = band_mv(blk_ref, g_ref[...])
-        onehot(n1_ref)                                   # rows of S
         ap_ref[...] = jax.lax.dot_general(
-            t_ref[...], oh_ref[...], (((1,), (1,)), ((), ())),
+            t_ref[...], oh1_ref[...], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)          # scatter to nodes
         g_ref[...] = jax.lax.dot_general(
-            p_ref[...], oh_ref[...], (((1,), (0,)), ((), ())),
+            p_ref[...], oh1_ref[...], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)          # p[n1]
         t_ref[...] = band_mv(blkt_ref, g_ref[...])
-        onehot(n2_ref)
         ap_ref[...] = ap_ref[...] + jax.lax.dot_general(
-            t_ref[...], oh_ref[...], (((1,), (1,)), ((), ())),
+            t_ref[...], oh2_ref[...], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) + u * p_ref[...]
 
     def precond(v):
@@ -196,7 +198,8 @@ def _pairs_cg_call(blk_pad, blkt_pad, n1, n2, minv8, b8, x08, u,
             pltpu.VMEM((8, jp), jnp.float32),    # p
             pltpu.VMEM((8, jp), jnp.float32),    # z
             pltpu.VMEM((8, jp), jnp.float32),    # ap
-            pltpu.VMEM((jp, p_cap), jnp.float32),  # one-hot scratch
+            pltpu.VMEM((jp, p_cap), jnp.float32),  # one-hot of n1
+            pltpu.VMEM((jp, p_cap), jnp.float32),  # one-hot of n2
             pltpu.VMEM((8, p_cap), jnp.float32),   # pair-lane scratch
             pltpu.VMEM((8, p_cap), jnp.float32),   # gathered-x scratch
         ],

@@ -62,7 +62,14 @@ def shard_ctx(ctx: LMContext, axis_name: str, num_shards: int) -> LMContext:
         bt = ctx.layout.block_tuple
         local_b = bt.shape[0] // num_shards
         bt_local = jax.lax.dynamic_slice_in_dim(bt, idx * local_b, local_b, 0)
-        repl["layout"] = ctx.layout._replace(block_tuple=bt_local)
+        layout = ctx.layout._replace(block_tuple=bt_local)
+        if layout.live_end is not None:
+            # Shard-local live content end: the chunk-skip bound
+            # (losses._live_chunk_count) is relative to this shard's slice.
+            local_np = ctx.sf_mask.shape[-1] // num_shards
+            layout = layout._replace(live_end=jnp.clip(
+                layout.live_end - idx * local_np, 0, local_np))
+        repl["layout"] = layout
     return ctx._replace(**repl)
 
 
