@@ -53,6 +53,10 @@ def build_workload(args, mesh_step: int, association: str):
             node_capacity=node_cap,
             edge_capacity=4 * node_cap,
             triangle_capacity=2 * node_cap,
+            # Steady-state fusion adds are a few hundred/frame (most pixels
+            # merge); half the default add capacity halves the stage-4 KNN/
+            # scatter width.  add_overflow in StepOutputs guards the margin.
+            new_surfel_capacity=8192,
         ),
     )
     solver_kw = dict(association=association)

@@ -111,3 +111,44 @@ def test_broadcast_beta_matches_gather(scene):
     ref = beta[knn_slot.T]
     sel = np.asarray(ctx.sf_mask)
     np.testing.assert_array_equal(np.asarray(bk)[sel], np.asarray(ref)[sel])
+
+
+def test_live_chunk_skip_matches_full_scan(scene):
+    """The dynamic live-chunk bound (layout.live_end) must be a pure
+    optimization: skipped sink/padding chunks contribute exact zeros, so
+    (JTJ, JTr, cost), total_cost and the frozen association are identical
+    with the bound disabled (live_end=None => full static scan)."""
+    from super_tpu.core.losses import Assoc, associate, total_cost
+
+    cfg, intr, frames, state, beta = scene
+    c = cfg.replace(solver=dataclasses.replace(
+        cfg.solver, assembly_chunk=2048, association="per_frame"))
+    ctx = prepare_lm(c, state.surfels, state.graph, frames[1])
+    assert ctx.layout is not None and ctx.layout.live_end is not None
+    # The scene must actually have a skippable suffix for this to bite.
+    np_cap = ctx.sf_mask.shape[0]
+    assert int(ctx.layout.live_end) < np_cap
+    ctx_full = ctx._replace(layout=ctx.layout._replace(live_end=None))
+
+    fast = jax.jit(lambda ctx, b: assemble_normal_equations(
+        c, ctx, b, intr, with_cost=True))
+    got = fast(ctx, beta)
+    ref = fast(ctx_full, beta)
+    for g, r, name in zip(got, ref, ("jtj", "jtr", "cost")):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(r),
+                                      err_msg=name)
+
+    cost = jax.jit(lambda ctx, b: total_cost(c, ctx, b, intr))
+    np.testing.assert_array_equal(np.asarray(cost(ctx, beta)),
+                                  np.asarray(cost(ctx_full, beta)))
+
+    assoc = jax.jit(lambda ctx: associate(c, ctx, beta * 0 + beta, intr,
+                                          identity=True))
+    a: Assoc = assoc(ctx)
+    b_: Assoc = assoc(ctx_full)
+    np.testing.assert_array_equal(np.asarray(a.mask), np.asarray(b_.mask))
+    sel = np.asarray(a.mask)
+    np.testing.assert_array_equal(np.asarray(a.o)[:, sel],
+                                  np.asarray(b_.o)[:, sel])
+    np.testing.assert_array_equal(np.asarray(a.n)[:, sel],
+                                  np.asarray(b_.n)[:, sel])
