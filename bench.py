@@ -66,19 +66,17 @@ def build_workload(args, mesh_step: int, association: str):
         solver_kw.update(assembly_tuple_cap=8 * node_cap,
                          linear_solver="pcg", jtj_dtype="bf16")
     elif association == "per_frame":
-        # ~1.8k distinct anchor tuples at 480p/J=336: cap 2048 halves
-        # the segment-sum one-hot and trims a padded jac chunk (the
-        # overflow counter in StepOutputs guards the margin).
+        # Distinct anchor tuples plateau ~2.6k at 480p/J=336 (fusion adds
+        # mint new tuples until the map saturates), so the default 4096
+        # cap is right -- 2048 silently drops ~19% of residuals into the
+        # sink (measured; the JSON line reports the overflow counters).
         # Frozen association tolerates the inexact-Newton solve: the
         # pair-sparse fused-CG kernel (warm-started, 32 iterations)
         # matches Cholesky accuracy at ~1/3 the per-iteration cost.
         # per_iteration keeps the exact Cholesky (reference-fidelity
         # trajectories are solve-tolerance-sensitive there).
-        solver_kw.update(assembly_tuple_cap=2048,
-                         linear_solver="pairs_fused", pcg_iterations=32,
+        solver_kw.update(linear_solver="pairs_fused", pcg_iterations=32,
                          gram_sum_dtype="bf16")
-    else:
-        solver_kw.update(assembly_tuple_cap=2048)
     cfg = cfg.replace(solver=dataclasses.replace(cfg.solver, **solver_kw))
     intr = default_intrinsics(h, w)
 
@@ -116,7 +114,7 @@ def measure_step(args, mesh_step: int, association: str, reps: int) -> float:
         for i in range(reps):
             st, outs = step(st, fbatch[i % 2])
         jax.block_until_ready(outs.lm_cost)
-        return b * reps / (time.perf_counter() - tic)
+        return b * reps / (time.perf_counter() - tic), {}
 
     # Device-resident frame loop: `reps` tracked frames per dispatch
     # (lax.scan alternating two preloaded frames) -- the throughput of a
@@ -141,21 +139,31 @@ def measure_step(args, mesh_step: int, association: str, reps: int) -> float:
             st, outs = one(st, fr)
         else:
             st, outs = jax.vmap(one)(st, fr)
-        return st, outs.lm_cost
+        # Capacity-overflow maxima ride along: a benchmark that silently
+        # drops residuals (tuple sink) or surfel adds would otherwise
+        # look *faster*; the JSON line surfaces them.
+        diag = jnp.stack([jnp.max(outs.tuple_overflow),
+                          jnp.max(outs.pair_overflow),
+                          jnp.max(outs.add_overflow),
+                          jnp.max(outs.free_exhausted)])
+        return st, (outs.lm_cost, diag)
 
     @jax.jit
     def run(st):
         ixs = jnp.arange(reps, dtype=jnp.int32) % 2
-        st, costs = jax.lax.scan(body, st, ixs)
-        return st, costs
+        st, (costs, diags) = jax.lax.scan(body, st, ixs)
+        return st, costs, jnp.max(diags, axis=0)
 
     init_states = states if b > 1 else state0
-    st, costs = run(init_states)            # warm-up / compile
+    st, costs, diag = run(init_states)      # warm-up / compile
     jax.device_get(costs)  # host fetch: reliable sync on the tunnel
     tic = time.perf_counter()
-    st, costs = run(init_states)
+    st, costs, diag = run(init_states)
     jax.device_get(costs)
-    return b * reps / (time.perf_counter() - tic)
+    dt = time.perf_counter() - tic
+    d = [int(x) for x in jax.device_get(diag)]
+    overflow = dict(tuple=d[0], pair=d[1], add_deferred=d[2], free=d[3])
+    return b * reps / dt, overflow
 
 
 def measure_lm(args, reps: int) -> float:
@@ -220,17 +228,23 @@ def main():
         metric = "tracked frames/s per chip (full step: 10-iter LM + fusion)"
         sweep = args.association is None
         headline = args.association or "per_frame"
-        frames_per_s = measure_step(args, args.mesh_step_size, headline,
-                                    args.reps)
+        frames_per_s, overflow = measure_step(args, args.mesh_step_size,
+                                              headline, args.reps)
+        if any(overflow.get(k) for k in ("tuple", "pair", "free")):
+            # Residual-dropping overflow would make the bench *faster* by
+            # solving a degraded problem -- surface it, never hide it.
+            extra["overflow"] = overflow
+        elif overflow.get("add_deferred"):
+            extra["add_deferred"] = overflow["add_deferred"]
         if sweep:
             extra["per_iteration_hz"] = round(measure_step(
                 args, args.mesh_step_size, "per_iteration",
-                args.reps) / args.streams, 3)
+                args.reps)[0] / args.streams, 3)
             if not args.no_dense and args.mesh_step_size > 16:
                 try:
                     extra["dense_mesh16_hz"] = round(measure_step(
                         args, 16, "per_frame",
-                        max(6, args.reps // 5)) / args.streams, 3)
+                        max(6, args.reps // 5))[0] / args.streams, 3)
                 except Exception as e:  # noqa: BLE001 -- report, keep line
                     extra["dense_mesh16_error"] = type(e).__name__
 

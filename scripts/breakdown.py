@@ -216,6 +216,24 @@ def main():
     reg("lm_pairs_bf16",
         jax.jit(lambda c, _c=c_spb: lm_solve(_c, c, intr)),
         ctx_spb, probe=lambda r: r.cost)
+    # One frozen-association assemble and one damped solve of the
+    # pairs_fused path, isolated (per-trip attribution inside lm_pairs).
+    from super_tpu.core.lm import _pairs_fused_solve
+    from super_tpu.core.losses import assemble_normal_equations as _asm
+    assoc_spb = jax.jit(lambda c: associate(c_spb, c, beta_t0 * 1.0, intr,
+                                            identity=True))(ctx_spb)
+    reg("asm_pairs_frozen",
+        jax.jit(lambda c, b: _asm(c_spb, c, b, intr, assoc=assoc_spb,
+                                  with_cost=True)),
+        ctx_spb, beta_t0 * 1.0, probe=lambda o: o[2])
+    acc_spb, jtr_spb, _ = jax.jit(lambda c, b: _asm(
+        c_spb, c, b, intr, assoc=assoc_spb, with_cost=True))(
+            ctx_spb, beta_t0 * 1.0)
+    reg("solve_pairs",
+        jax.jit(lambda a, r: _pairs_fused_solve(
+            c_spb, ctx_spb.layout, a, r, jnp.float32(10.0),
+            cfg.capacity.node_capacity)),
+        acc_spb, jtr_spb, probe=lambda x: jnp.sum(x[:64]))
 
     wanted = args.stages.split(",")
     out = {}
