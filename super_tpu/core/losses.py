@@ -332,19 +332,11 @@ def _blend_warp_fm(geom, beta_kfm):
     """
     _, w_fm, knn_fm, diff_fm = geom
     k = w_fm.shape[0]
-    tp = 0.0
-    for a in range(k):
-        v = diff_fm[3 * a:3 * a + 3]
-        ga = knn_fm[3 * a:3 * a + 3]
-        if beta_kfm is None:
-            tv = v
-        else:
-            qw = beta_kfm[a, 0][None]
-            qv = beta_kfm[a, 1:4]
-            c = _cross_fm(qv, v)
-            tv = v + 2.0 * qw * c + 2.0 * _cross_fm(qv, c) + beta_kfm[a, 4:7]
-        tp = tp + w_fm[a][None] * (tv + ga)
-    return tp
+    if beta_kfm is None:
+        _, _, rep3, _ = _k_perms(k)
+        s = w_fm[rep3] * (diff_fm + knn_fm)
+        return jnp.sum(s.reshape(k, 3, s.shape[-1]), axis=0)
+    return _warp_fm_batched(w_fm, knn_fm, diff_fm, beta_kfm)
 
 
 def associate(cfg: SuPerConfig, ctx: LMContext, beta, intr: Intrinsics,
@@ -444,6 +436,93 @@ def _cross_fm(x, y):
                       x[0] * y[1] - x[1] * y[0]])
 
 
+def _k_perms(k: int):
+    """Static index constants for the all-anchor batched row math.
+
+    ``p1/p2`` make an anchor-blocked cross product out of one (3K, C)
+    multiply pair; ``rep3`` repeats per-anchor scalars onto their 3 rows;
+    ``hperm`` reorders the [hw (K); hv (3K); hn (3K)] stack into the
+    anchor-major [ndqw, ndqv(3), n(3)] row convention of the Gram/assembly
+    stages.
+    """
+    import numpy as np
+    p1 = np.asarray([3 * a + (i + 1) % 3 for a in range(k) for i in range(3)])
+    p2 = np.asarray([3 * a + (i + 2) % 3 for a in range(k) for i in range(3)])
+    rep3 = np.asarray([a for a in range(k) for _ in range(3)])
+    hperm = np.asarray([x for a in range(k)
+                        for x in (a,
+                                  k + 3 * a, k + 3 * a + 1, k + 3 * a + 2,
+                                  4 * k + 3 * a, 4 * k + 3 * a + 1,
+                                  4 * k + 3 * a + 2)])
+    return p1, p2, rep3, hperm
+
+
+def _cross_batched(x, y, p1, p2):
+    """Anchor-blocked cross product on (3K, C) stacks (rows 3a..3a+2 of the
+    result = x_a cross y_a)."""
+    return x[p1] * y[p2] - x[p2] * y[p1]
+
+
+def _gsum3(x, k):
+    """(3K, C) -> (K, C): sum each anchor's 3 rows (a dot product whose
+    operands were formed on the full (3K, C) stack)."""
+    return jnp.sum(x.reshape(k, 3, x.shape[-1]), axis=1)
+
+
+def _warp_fm_batched(w_fm, knn_fm, diff_fm, beta_kfm):
+    """Blended dual-quaternion warp with all K anchors batched: one
+    (3K, C) rotation instead of K unrolled (3, C) passes.
+
+    Value-identical to the K-loop of :func:`_blend_warp_fm` modulo fp
+    reassociation; the (3, C) per-anchor math uses 3 of 8 sublanes per
+    vector register, the (3K, C) form 3K/8ceil (12/16 at K = 4).
+    """
+    k = w_fm.shape[0]
+    p1, p2, rep3, _ = _k_perms(k)
+    v = diff_fm                                        # (3K, C)
+    qw = beta_kfm[:, 0][rep3]                          # (3K, C)
+    qv = beta_kfm[:, 1:4].reshape(3 * k, -1)
+    bb = beta_kfm[:, 4:7].reshape(3 * k, -1)
+    c = _cross_batched(qv, v, p1, p2)
+    tv = v + 2.0 * qw * c + 2.0 * _cross_batched(qv, c, p1, p2) + bb
+    s = w_fm[rep3] * (tv + knn_fm)
+    return jnp.sum(s.reshape(k, 3, s.shape[-1]), axis=0)
+
+
+def _rows_fm_batched(m_fm, w_fm, diff_fm, beta_kfm):
+    """Point-plane gradient rows with all K anchors batched.
+
+    ``m_fm`` (3, C) is the effective row normal (frozen association: the
+    sampled target normal; moving: see moving_chunk_partial_fm).  Returns
+    the (7K, C) rows in the anchor-major [ndqw, ndqv(3), w m(3)] order the
+    Gram stage consumes, weights already applied.
+
+    Same identities as the K-unrolled loop this replaces (n^T dT/dq formed
+    directly, frozen_chunk_jacobian docstring); batching the anchors into
+    (3K, C) stacks raises VPU sublane utilization from 3/8 to 12/16 at
+    K = 4 (~2x on the rows-only pass, scripts/microbench_jac.py fm/fm12).
+    The warp's cross products are the same subexpressions as
+    :func:`_warp_fm_batched`'s, so XLA CSE merges the two passes.
+    """
+    k = w_fm.shape[0]
+    p1, p2, rep3, hperm = _k_perms(k)
+    v = diff_fm                                        # (3K, C)
+    qw = beta_kfm[:, 0][rep3]
+    qv = beta_kfm[:, 1:4].reshape(3 * k, -1)
+    m_b = jnp.tile(m_fm, (k, 1))                       # (3K, C)
+    c = _cross_batched(qv, v, p1, p2)
+    ndq_w = 2.0 * _gsum3(m_b * c, k)                   # (K, C)
+    qv_v = _gsum3(qv * v, k)
+    m_qv = _gsum3(m_b * qv, k)
+    m_v = _gsum3(m_b * v, k)
+    nxv = _cross_batched(m_b, v, p1, p2)
+    ndq_v = 2.0 * (qv_v[rep3] * m_b + m_qv[rep3] * v
+                   - 2.0 * m_v[rep3] * qv - qw * nxv)  # (3K, C)
+    w12 = w_fm[rep3]
+    return jnp.concatenate([w_fm * ndq_w, w12 * ndq_v, w12 * m_b],
+                           axis=0)[hperm]              # (7K, C)
+
+
 def _beta_fm_of(beta_t, xs_elem):
     """Tuple-broadcast anchor parameters, feature-major: (K, 7, C).
 
@@ -467,38 +546,20 @@ def frozen_chunk_partial_fm(geom, o_fm, n_fm, amask, beta_kfm,
     the row-major (C, K, 3)/(C, K, 7) intermediates pad their trailing
     dims to (8, 128) TPU tiles at materialization boundaries (~85x), which
     costs ~40% of the pass (scripts/microbench_jac.py: 3.7 -> 2.2 ms at
-    480p).  K is unrolled in Python (static, = 4).
+    480p).  The K anchors are batched into (3K, C) stacks
+    (_rows_fm_batched) rather than unrolled in Python.
 
     Returns (partial (C/G, 28*29), sum(r^2)).
     """
     mask_c, w_fm, knn_fm, diff_fm = geom
     cdim = mask_c.shape[-1]
-    k = w_fm.shape[0]
-    rows = []
-    tp_acc = 0.0
-    for a in range(k):
-        v = diff_fm[3 * a:3 * a + 3]                   # (3, C)
-        ga = knn_fm[3 * a:3 * a + 3]
-        qw = beta_kfm[a, 0][None]                      # (1, C)
-        qv = beta_kfm[a, 1:4]
-        b = beta_kfm[a, 4:7]
-        wa = w_fm[a][None]
-        c = _cross_fm(qv, v)
-        tv = v + 2.0 * qw * c + 2.0 * _cross_fm(qv, c) + b
-        tp_acc = tp_acc + wa * (tv + ga)
-        # n^T dT/dq rows (same identities as frozen_chunk_jacobian).
-        ndq_w = 2.0 * jnp.sum(n_fm * c, 0, keepdims=True)
-        qv_v = jnp.sum(qv * v, 0, keepdims=True)
-        n_qv = jnp.sum(n_fm * qv, 0, keepdims=True)
-        n_v = jnp.sum(n_fm * v, 0, keepdims=True)
-        nxv = _cross_fm(n_fm, v)
-        ndq_v = 2.0 * (qv_v * n_fm + n_qv * v - 2.0 * n_v * qv - qw * nxv)
-        rows.append(wa * jnp.concatenate(
-            [ndq_w, ndq_v, jnp.broadcast_to(n_fm, (3, cdim))], axis=0))
+    tp = _warp_fm_batched(w_fm, knn_fm, diff_fm, beta_kfm)
+    rows = _rows_fm_batched(jnp.broadcast_to(n_fm, (3, cdim)), w_fm,
+                            diff_fm, beta_kfm)
     mask = mask_c & amask
-    r = weight * jnp.sum(n_fm * (tp_acc - o_fm), 0)
+    r = weight * jnp.sum(n_fm * (tp - o_fm), 0)
     r = jnp.where(mask, r, 0.0)
-    h = jnp.where(mask[None], weight * jnp.concatenate(rows, axis=0), 0.0)
+    h = jnp.where(mask[None], weight * rows, 0.0)
     nb = cdim // g_per
     hb = h.reshape(28, nb, g_per)
     ext = jnp.concatenate([hb, r.reshape(1, nb, g_per)], axis=0)
@@ -542,7 +603,6 @@ def moving_chunk_partial_fm(cfg, ctx, geom, beta_kfm, intr,
     """
     mask_c, w_fm, knn_fm, diff_fm = geom
     cdim = mask_c.shape[-1]
-    k = w_fm.shape[0]
     tp = _blend_warp_fm(geom, beta_kfm)
     o, n, mask, go_u, go_v, gn_u, gn_v = _project_sample_fm(
         cfg, ctx, tp, mask_c, intr, grad=True)
@@ -560,22 +620,9 @@ def moving_chunk_partial_fm(cfg, ctx, geom, beta_kfm, intr,
     r = weight * jnp.sum(n * d, 0)
     r = jnp.where(mask, r, 0.0)
 
-    rows = []
-    for a in range(k):
-        v = diff_fm[3 * a:3 * a + 3]
-        qw = beta_kfm[a, 0][None]
-        qv = beta_kfm[a, 1:4]
-        wa = w_fm[a][None]
-        c = _cross_fm(qv, v)
-        ndq_w = 2.0 * jnp.sum(m * c, 0, keepdims=True)
-        qv_v = jnp.sum(qv * v, 0, keepdims=True)
-        m_qv = jnp.sum(m * qv, 0, keepdims=True)
-        m_v = jnp.sum(m * v, 0, keepdims=True)
-        nxv = _cross_fm(m, v)
-        ndq_v = 2.0 * (qv_v * m + m_qv * v - 2.0 * m_v * qv - qw * nxv)
-        rows.append(wa * jnp.concatenate([ndq_w, ndq_v, m], axis=0))
     h_rows = jnp.where(mask[None],
-                       weight * jnp.concatenate(rows, axis=0), 0.0)
+                       weight * _rows_fm_batched(m, w_fm, diff_fm,
+                                                 beta_kfm), 0.0)
     nb = cdim // g_per
     hb = h_rows.reshape(28, nb, g_per)
     ext = jnp.concatenate([hb, r.reshape(1, nb, g_per)], axis=0)
