@@ -137,7 +137,11 @@ def build_projection_maps(cfg: SuPerConfig, intr: Intrinsics,
 def _pack_bank(points, norms, colors, radii, confs, seg, seg_conf,
                time_stamp=None):
     """Pack the merge-relevant fields into one (F, N) bank so a merge stage
-    costs ONE minor-axis gather (and one 2D scatter) instead of ~12 each."""
+    costs ONE minor-axis gather (and one 2D scatter) instead of ~12 each.
+
+    ``seg_conf`` may be a zero-row (0, N) array: outside semantic mode the
+    merge stages never change class confidences, so the bank (and every
+    gather over it) carries 13 rows instead of 13 + C."""
     if time_stamp is None:
         time_stamp = jnp.zeros_like(radii)
     return jnp.concatenate([
@@ -246,19 +250,40 @@ def fuse_frame(cfg: SuPerConfig, intr: Intrinsics, surfels: SurfelState,
     # merge) -- and the bank updates by SELECT, not scatter (scatters cost
     # ~5 ns/element on TPU; the full-pixel layer-0 bank scatter alone was
     # ~25 ms at 480p).
+    semantic = cfg.method == "semantic-super"
+    bank_segc = surfels.seg_conf if semantic else \
+        jnp.zeros((0,) + surfels.radii.shape, surfels.radii.dtype)
     bank = _pack_bank(surfels.points, surfels.norms, surfels.colors,
                       surfels.radii, surfels.confs, surfels.seg,
-                      surfels.seg_conf, time_stamp=surfels.time_stamp)
-    fbank = _pack_bank(frame.points, frame.norms, frame.colors, frame.radii,
-                       frame.confs, frame.seg, frame.seg_conf)
+                      bank_segc, time_stamp=surfels.time_stamp)
     depth_l = cfg.capacity.proj_map_depth
 
     if not cfg.disable_merging_new_surfels:
-        # One gather fetches the candidate fields AND its validity.
-        fbank_v = jnp.concatenate(
-            [fbank, frame.valid[None].astype(fbank.dtype)], axis=0)
-        fv = gather_rows(fbank_v, sf_pix)              # (F+1, N)
-        fview = _unpack_bank(fv[:-1])
+        # One gather fetches the candidate fields AND its validity -- but
+        # only the rows stages 2 consumes (gathers cost per index x row:
+        # the full bank is 18+C rows at ~400k indices; the candidate's
+        # time_stamp is never read, seg only feeds the hard-seg gate, and
+        # seg_conf only the semantic merge).
+        fdt = frame.points.dtype
+        need_seg = cfg.hard_seg or cfg.data == "superv1"
+        rows = [frame.points, frame.norms, frame.colors,
+                frame.radii[None], frame.confs[None]]
+        if need_seg:
+            rows.append(frame.seg.astype(fdt)[None])
+        if semantic:
+            rows.append(frame.seg_conf)
+        rows.append(frame.valid[None].astype(fdt))
+        fv = gather_rows(jnp.concatenate(rows, axis=0), sf_pix)
+        nseg = frame.seg_conf.shape[0] if semantic else 0
+        off = 11 + int(need_seg)
+        zseg = jnp.zeros(fv.shape[1:], fdt)
+        fview = dict(
+            points=fv[0:3], norms=fv[3:6], colors=fv[6:9],
+            radii=fv[9], confs=fv[10],
+            seg=(fv[11] if need_seg else zseg).astype(jnp.int32),
+            time_stamp=zseg,  # merged time_stamp = full(time): never read
+            seg_conf=fv[off:off + nseg],  # (0, N) outside semantic mode
+        )
         cand_ok = fv[-1] > 0.5
         sview = _unpack_bank(bank)                     # no gather: own column
         in_map = (sf_layer >= 0) & (sf_layer < depth_l)
@@ -334,13 +359,16 @@ def fuse_frame(cfg: SuPerConfig, intr: Intrinsics, surfels: SurfelState,
                                    mode="drop")
         surfels = surfels._replace(active=active)
 
-    # Unpack the merged bank back into the state once.
+    # Unpack the merged bank back into the state once.  Outside semantic
+    # mode the bank carries no seg_conf rows (the merges never change
+    # them); the original array passes through.
     merged = _unpack_bank(bank)
     surfels = surfels._replace(
         points=merged["points"], norms=merged["norms"],
         colors=merged["colors"], radii=merged["radii"],
         confs=merged["confs"], seg=merged["seg"],
-        seg_conf=merged["seg_conf"], time_stamp=merged["time_stamp"])
+        seg_conf=merged["seg_conf"] if semantic else surfels.seg_conf,
+        time_stamp=merged["time_stamp"])
 
     # --- stage 3.5: refresh anchor weights (nodes.py:466-484) -------------
     surfels = recompute_surfel_weights(cfg, surfels, graph)
