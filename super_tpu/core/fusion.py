@@ -325,7 +325,10 @@ def fuse_frame(cfg: SuPerConfig, intr: Intrinsics, surfels: SurfelState,
     remap = jnp.arange(surfels.capacity, dtype=jnp.int32)
     if not cfg.disable_merging_exist_surfels and depth_l > 1:
         n_cap = surfels.capacity
-        pid_c = [proj_id[l][compact_pix] for l in range(depth_l)]  # (p8,) x L
+        # ONE axis-1 take for all L layers (L separate row gathers each pay
+        # the ~1 ms fixed gather cost).
+        pid_all = jnp.take(proj_id, compact_pix, axis=1)           # (L, p8)
+        pid_c = [pid_all[l] for l in range(depth_l)]
         sls = [jnp.clip(x, 0, n_cap - 1) for x in pid_c]
         occ_c = [compact_valid & (x >= 0) for x in pid_c]
         gath = gather_rows(bank, jnp.concatenate(sls))  # one (F, L*p8) gather
