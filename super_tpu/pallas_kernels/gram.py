@@ -71,8 +71,20 @@ def tuple_gram_pallas(h, r, block_tuple, *, tuple_cap: int,
     np_cap, d = h.shape
     assert d == D
     nblocks = np_cap // block
-    if jax.default_backend() != "tpu":
-        interpret = True  # CPU test harness runs the kernel interpreted
+    if jax.default_backend() != "tpu" and not interpret:
+        # Compiled-XLA reference (same math): per-block Grams + a
+        # segment-sum over the sorted block->tuple map.  Off-TPU the
+        # interpreter is ~100x slower, which skews shard_map threads into
+        # XLA's in-process collective rendezvous timeout (see
+        # pallas_kernels/pcg.py); interpret=True still forces the kernel.
+        hb = h.reshape(nblocks, block, D)
+        ext = jnp.concatenate([hb, r.reshape(nblocks, block, 1)], axis=-1)
+        grams = jax.lax.dot_general(
+            hb, ext, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)          # (B, D, D+1)
+        out = jnp.zeros((tuple_cap, D, D + 1), jnp.float32).at[
+            block_tuple].add(grams)
+        return out[:, :, :D], out[:, :, D]
     # The output row index follows the prefetched block->tuple map
     # (PrefetchScalarGridSpec scalars are visible to index_maps).
     grid_spec = pltpu.PrefetchScalarGridSpec(

@@ -174,6 +174,72 @@ def _pairs_cg_kernel(blk_ref, blkt_ref, n1_ref, n2_ref, minv_ref, b_ref,
     jax.lax.fori_loop(0, iterations, cg_body, rz0)
 
 
+def _pairs_cg_ref(blk_pad, blkt_pad, n1, n2, minv8, b8, x08, u,
+                  *, iterations: int):
+    """Pure-XLA reference of _pairs_cg_kernel (identical recurrence).
+
+    Used as the non-TPU fallback: interpreting the kernel is ~100x slower
+    than compiled XLA, which skews shard_map threads enough to trip XLA's
+    hardcoded 40 s in-process collective rendezvous timeout on the virtual
+    CPU mesh (the round-3 MULTICHIP rc=134).  Same band matvec, same
+    block-Jacobi preconditioning, same warm start, same epsilons -- the
+    gathers/scatters are index ops instead of one-hot matmuls.
+    """
+    jp = b8.shape[1]
+
+    def band_mv(band, v):
+        acc = band[0:8] * v
+        for d in range(1, 8):
+            # out[i] = v[(i + d) % 8], as in the kernel's pltpu.roll(8-d).
+            acc = acc + band[8 * d:8 * d + 8] * jnp.roll(v, -d, axis=0)
+        return acc
+
+    valid1 = n1 < jp
+    valid2 = n2 < jp
+    c1 = jnp.where(valid1, n1, 0)
+    c2 = jnp.where(valid2, n2, 0)
+    s1 = jnp.where(valid1, n1, jp)  # sink column for out-of-range pairs
+    s2 = jnp.where(valid2, n2, jp)
+
+    def gather(p, c, valid):
+        return jnp.where(valid[None, :], p[:, c], 0.0)
+
+    def scatter(t, s):
+        out = jnp.zeros((8, jp + 1), t.dtype).at[:, s].add(t)
+        return out[:, :jp]
+
+    def matvec(p):
+        t = band_mv(blk_pad, gather(p, c2, valid2))
+        ap = scatter(t, s1)
+        t = band_mv(blkt_pad, gather(p, c1, valid1))
+        return ap + scatter(t, s2) + u * p
+
+    def precond(v):
+        return band_mv(minv8, v)
+
+    x = x08
+    r = b8 - matvec(x08)
+    z = precond(r)
+    p = z
+    rz = jnp.sum(r * z)
+
+    def body(_, carry):
+        x, r, p, rz = carry
+        ap = matvec(p)
+        pap = jnp.sum(p * ap)
+        alpha = jnp.where(jnp.abs(pap) > 1e-30, rz / pap, 0.0)
+        x = x + alpha * p
+        r = r - alpha * ap
+        z = precond(r)
+        rz_new = jnp.sum(r * z)
+        beta = jnp.where(jnp.abs(rz) > 1e-30, rz_new / rz, 0.0)
+        p = z + beta * p
+        return x, r, p, rz_new
+
+    x, _, _, _ = jax.lax.fori_loop(0, iterations, body, (x, r, p, rz))
+    return x
+
+
 def _pairs_cg_call(blk_pad, blkt_pad, n1, n2, minv8, b8, x08, u,
                    *, iterations: int, interpret: bool):
     """One unbatched kernel launch (shapes already 8/128-padded).
@@ -227,9 +293,13 @@ def pairs_cg_pallas(blk_pad, blkt_pad, n1, n2, minv_pad, b_fm, u, x0_fm=None,
 
     vmap-safe: batched calls run the kernel once per batch element
     (sequential_vmap) -- see _pairs_cg_call.
+
+    Off-TPU the call runs _pairs_cg_ref (compiled XLA, same math) unless
+    ``interpret=True`` is passed explicitly -- interpreting the kernel is
+    ~100x slower and blows XLA's in-process collective rendezvous timeout
+    under shard_map (tests keep interpret=True coverage of the kernel).
     """
-    if jax.default_backend() != "tpu":
-        interpret = True  # CPU test harness runs the kernel interpreted
+    use_ref = jax.default_backend() != "tpu" and not interpret
     j = b_fm.shape[1]
     jp = -(-j // 128) * 128
     b8 = jnp.zeros((8, jp), jnp.float32).at[:7, :j].set(
@@ -242,6 +312,13 @@ def pairs_cg_pallas(blk_pad, blkt_pad, n1, n2, minv_pad, b_fm, u, x0_fm=None,
     minv8 = jnp.zeros((64, jp), jnp.float32).at[:, :j].set(
         minv_pad.astype(jnp.float32))
 
+    if use_ref:
+        x = _pairs_cg_ref(
+            blk_pad.astype(jnp.float32), blkt_pad.astype(jnp.float32),
+            n1, n2, minv8, b8, x08, jnp.asarray(u, jnp.float32),
+            iterations=iterations)
+        return x[:7, :j]
+
     key = (iterations, interpret)
     if key not in _pairs_cg_call_seq:
         _pairs_cg_call_seq[key] = jax.custom_batching.sequential_vmap(
@@ -251,6 +328,30 @@ def pairs_cg_pallas(blk_pad, blkt_pad, n1, n2, minv_pad, b_fm, u, x0_fm=None,
         blk_pad.astype(jnp.float32), blkt_pad.astype(jnp.float32),
         n1, n2, minv8, b8, x08, jnp.asarray(u, jnp.float32))
     return x[:7, :j]
+
+
+def _pcg_ref(a, b2, *, iterations: int):
+    """Pure-XLA reference of _pcg_kernel (same CG recurrence, same
+    epsilons); the non-TPU fallback -- see _pairs_cg_ref."""
+    x = jnp.zeros_like(b2)
+    r = b2
+    p = b2
+    rz = jnp.sum(r * r)
+
+    def body(_, carry):
+        x, r, p, rz = carry
+        ap = p @ a  # A symmetric: p @ A == (A p)^T, as in the kernel
+        pap = jnp.sum(p * ap)
+        alpha = jnp.where(jnp.abs(pap) > 1e-30, rz / pap, 0.0)
+        x = x + alpha * p
+        r = r - alpha * ap
+        rz_new = jnp.sum(r * r)
+        beta = jnp.where(jnp.abs(rz) > 1e-30, rz_new / rz, 0.0)
+        p = r + beta * p
+        return x, r, p, rz_new
+
+    x, _, _, _ = jax.lax.fori_loop(0, iterations, body, (x, r, p, rz))
+    return x
 
 
 def _pcg_call(a, b2, *, iterations: int, row_block: int, interpret: bool):
@@ -294,15 +395,21 @@ def pcg_pallas(a, b, *, iterations: int = 32, row_block: int = 256,
     Returns: (dim,) float32 solution after ``iterations`` CG steps.
 
     vmap-safe via sequential_vmap (one launch per batch element).
+
+    Off-TPU: compiled-XLA reference (_pcg_ref) unless interpret=True is
+    passed explicitly (see pairs_cg_pallas).
     """
-    if jax.default_backend() != "tpu":
-        interpret = True  # CPU test harness runs the kernel interpreted
+    use_ref = jax.default_backend() != "tpu" and not interpret
     dim = a.shape[0]
     lcm = max(row_block, 128)
     dim_p = -(-dim // lcm) * lcm
     if dim_p != dim:
         a = jnp.pad(a, ((0, dim_p - dim), (0, dim_p - dim)))
         b = jnp.pad(b, (0, dim_p - dim))
+
+    if use_ref:
+        x = _pcg_ref(a, b.reshape(1, dim_p), iterations=iterations)
+        return x[0, :dim]
 
     key = (iterations, row_block, interpret)
     if key not in _pcg_call_seq:

@@ -137,7 +137,19 @@ def make_multichip_step(cfg: SuPerConfig, intr: Intrinsics, mesh):
         out_specs=(P("stream"), P("stream")),
         check_rep=False,
     )
-    return jax.jit(mapped)
+    compiler_options = None
+    if jax.default_backend() == "cpu":
+        # Virtual-device CPU meshes oversubscribe host cores (8 device
+        # threads on a 4-core box), so shard threads can skew past XLA's
+        # default in-process rendezvous timeouts (warn 20 s / terminate
+        # 40 s -- the round-3 MULTICHIP rc=134) purely from scheduling.
+        # Generous timeouts make the gate load-immune; real TPU meshes
+        # keep the defaults.
+        compiler_options = {
+            "xla_cpu_collective_call_warn_stuck_seconds": 300,
+            "xla_cpu_collective_call_terminate_timeout_seconds": 600,
+        }
+    return jax.jit(mapped, compiler_options=compiler_options)
 
 
 def make_batched_step(cfg: SuPerConfig, intr: Intrinsics):

@@ -21,12 +21,18 @@ def _spd(dim, seed=0, cond=1e3):
     return (q * ev) @ q.T
 
 
-def test_pcg_pallas_matches_direct_solve():
+import pytest
+
+
+@pytest.mark.parametrize("interpret", [False, True])
+def test_pcg_pallas_matches_direct_solve(interpret):
+    """interpret=True forces the actual kernel (interpreted off-TPU);
+    interpret=False exercises the compiled-XLA fallback on CPU."""
     dim = 200  # not a multiple of row_block: exercises zero padding
     a = _spd(dim, cond=50.0).astype(np.float32)
     b = np.random.default_rng(1).standard_normal(dim).astype(np.float32)
     x = pcg_pallas(jnp.asarray(a), jnp.asarray(b), iterations=100,
-                   row_block=128)
+                   row_block=128, interpret=interpret)
     x_ref = np.linalg.solve(a.astype(np.float64), b.astype(np.float64))
     np.testing.assert_allclose(np.asarray(x), x_ref, rtol=2e-3, atol=2e-4)
 
@@ -118,6 +124,44 @@ def test_pairs_fused_solve_matches_dense_solve():
                                atol=1e-3)
 
 
+def test_pairs_cg_ref_matches_kernel():
+    """The compiled-XLA fallback (_pairs_cg_ref) must track the interpreted
+    kernel bit-for-recurrence on the same padded inputs -- the multichip
+    dryrun and CPU integration tests run the fallback, so its equivalence
+    to the kernel IS the kernel's off-TPU validity."""
+    from super_tpu.core.lm import _pairs_fused_solve
+    from super_tpu.core.losses import assemble_normal_equations
+    from super_tpu.geometry.quaternion import IDENTITY_DQ
+    from super_tpu.pallas_kernels import pcg as pcg_mod
+
+    cfg, intr, seq, frames = tiny_scene(num_frames=3)
+    cfg_sp = _pairs_cfg(cfg, pcg_iterations=24)
+    state = init_tracker(cfg_sp, frames[0])
+    ctx = prepare_lm(cfg_sp, state.surfels, state.graph, frames[2])
+    j_cap = cfg.capacity.node_capacity
+    beta = jnp.tile(IDENTITY_DQ[None], (j_cap, 1))
+    acc, jtr, _ = assemble_normal_equations(cfg_sp, ctx, beta, intr,
+                                            with_cost=True)
+    u = jnp.float32(10.0)
+
+    # Fallback path (default off-TPU), then the interpreted kernel forced
+    # via interpret=True at the call site (_pairs_fused_solve resolves
+    # pairs_cg_pallas through the module attribute at call time).
+    import functools as ft
+    x_ref = _pairs_fused_solve(cfg_sp, ctx.layout, acc, jtr, u, j_cap)
+    orig = pcg_mod.pairs_cg_pallas
+    pcg_mod.pairs_cg_pallas = ft.partial(orig, interpret=True)
+    try:
+        x_kern = _pairs_fused_solve(cfg_sp, ctx.layout, acc, jtr, u, j_cap)
+    finally:
+        pcg_mod.pairs_cg_pallas = orig
+    scale = float(np.abs(np.asarray(x_kern)).max()) + 1e-12
+    # f32 reassociation: one-hot-matmul gather/scatter vs index ops
+    # accumulate in different orders.
+    np.testing.assert_allclose(np.asarray(x_ref) / scale,
+                               np.asarray(x_kern) / scale, atol=2e-4)
+
+
 def test_lm_descends_with_pairs_fused():
     cfg, intr, seq, frames = tiny_scene(num_frames=3)
     cfg_sp = _pairs_cfg(cfg, pcg_iterations=48)
@@ -128,8 +172,10 @@ def test_lm_descends_with_pairs_fused():
     assert np.abs(np.asarray(res.beta[:, 4:])).max() > 1e-4
     ctx_ref = prepare_lm(cfg, state.surfels, state.graph, frames[2])
     res_ref = jax.jit(lambda c: lm_solve(cfg, c, intr))(ctx_ref)
+    # atol floor: both costs converge to ~2e-7 on this scene, where f32
+    # solver rounding flips late accept/reject decisions.
     np.testing.assert_allclose(float(res.cost), float(res_ref.cost),
-                               rtol=0.05)
+                               rtol=0.05, atol=1e-7)
 
 
 def test_lm_descends_with_pcg_pallas():
