@@ -69,6 +69,9 @@ def build_argparser() -> argparse.ArgumentParser:
                    choices=["monodepth2_stereo", "raft_stereo"],
                    help="infer depth instead of --load_depth")
     p.add_argument("--pretrained_depth_checkpoint_dir", default=None)
+    p.add_argument("--depth_filter_kernel_size", type=int, default=-1,
+                   help="Gaussian-blur the predicted disparity when >0 "
+                        "(reference options.py:162)")
     p.add_argument("--pretrained_encoder_checkpoint_dir", default=None,
                    help="monodepth2 encoder.pth (decoder via "
                         "--pretrained_depth_checkpoint_dir)")
@@ -136,6 +139,7 @@ def main(argv=None) -> int:
         th_cosine_ang=args.th_cosine_ang,
         th_time_steps=args.th_time_steps,
         depth_model=args.depth_model,
+        depth_filter_kernel_size=args.depth_filter_kernel_size,
         seg_model=args.seg_model,
         losses=LossConfig(
             sf_point_plane=args.sf_point_plane,

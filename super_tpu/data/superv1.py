@@ -97,12 +97,26 @@ def load_sequence(cfg: SuPerConfig, args) -> tuple:
         depths.append(np.asarray(depth).squeeze())
         ids.append(fid)
         if cfg.load_seg:
-            seg_path = os.path.join(data_dir, args.seg_dir,
-                                    f"{name}-left.npy")
-            if os.path.exists(seg_path):
-                conf = np.load(seg_path).astype(np.float32)  # (C, H, W)
+            base = os.path.join(data_dir, args.seg_dir, f"{name}-left")
+            if os.path.exists(base + ".npy"):
+                # Per-class confidences; label = argmax
+                # (get_seg, data_loader.py:228-236).
+                conf = np.load(base + ".npy").astype(np.float32)  # (C, H, W)
                 seg_confs.append(conf)
                 segs.append(conf.argmax(0).astype(np.int32))
+            elif os.path.exists(base + ".png"):
+                # Integer label image; confidences = one-hot
+                # (get_seg, data_loader.py:238-244).
+                from PIL import Image
+
+                lab = np.asarray(Image.open(base + ".png"))
+                if lab.ndim == 3:
+                    lab = lab[..., 0]
+                lab = lab.astype(np.int32)
+                conf = np.zeros((cfg.num_classes,) + lab.shape, np.float32)
+                np.put_along_axis(conf, lab[None], 1.0, axis=0)
+                seg_confs.append(conf)
+                segs.append(lab)
     return _finish(cfg, args, data_dir, depths, colors, segs, seg_confs, ids)
 
 

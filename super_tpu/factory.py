@@ -141,9 +141,10 @@ def predict_frame_inputs(cfg: SuPerConfig, models: Models, color_chw,
         if cfg.depth_model == "monodepth2_stereo":
             from super_tpu.models.monodepth2 import predict_depth
 
-            _, depth = predict_depth(models.depth_params, models.depth_model,
-                                     color_chw, cfg.min_depth, cfg.max_depth,
-                                     post_process=cfg.post_process)
+            _, depth = predict_depth(
+                models.depth_params, models.depth_model, color_chw,
+                cfg.min_depth, cfg.max_depth, post_process=cfg.post_process,
+                filter_kernel=max(cfg.depth_filter_kernel_size, 0))
             out["depth"] = depth
         else:  # raft_stereo
             from super_tpu.models.raft_stereo import depth_from_disparity

@@ -86,22 +86,34 @@ def batch_post_process_disparity(l_disp, r_disp):
 
 
 def predict_depth(params, model: Monodepth2, image_chw, min_depth: float,
-                  max_depth: float, post_process: bool = True):
+                  max_depth: float, post_process: bool = True,
+                  filter_kernel: int = 0):
     """pred_depth parity for monodepth2 (utils/data_loader.py:274-307).
+
+    ``filter_kernel > 0`` Gaussian-blurs the disparity before inverting to
+    depth (``--depth_filter_kernel_size``, data_loader.py:292-298: after the
+    flip blend in the post_process branch, on the raw sigmoid disp before
+    disp_to_depth otherwise).
 
     Args:
       image_chw: (3, H, W) in [0, 1].
     Returns: (disp (H, W), depth (H, W)).
     """
+    from super_tpu.ops.blur import gaussian_blur
+
     img = image_chw.transpose(1, 2, 0)[None]          # NHWC
     if post_process:
         batch = jnp.concatenate([img, img[:, :, ::-1]], axis=0)
         disp = model.apply(params, batch)[0][..., 0]  # (2, H, W)
         disp, _ = disp_to_depth(disp, min_depth, max_depth)
         disp = batch_post_process_disparity(disp[:1], disp[1:, :, ::-1])[0]
+        if filter_kernel > 0:
+            disp = gaussian_blur(disp, kernel=filter_kernel)
         depth = 1.0 / disp
     else:
         disp = model.apply(params, img)[0][0, ..., 0]
+        if filter_kernel > 0:
+            disp = gaussian_blur(disp, kernel=filter_kernel)
         disp, depth = disp_to_depth(disp, min_depth, max_depth)
     return disp, depth
 
