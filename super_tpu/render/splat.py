@@ -87,7 +87,9 @@ def render_soft(points, colors, mask, intr: Intrinsics, height: int,
 
     scale = gamma * jnp.maximum(jnp.abs(zmin), 1e-6)
     wdepth = jnp.exp(-jnp.maximum(z[None] - zmin, 0.0) / scale)
-    wfull = jnp.where(in_b, wbil * wdepth, 0.0)                  # (4, N)
+    # colors dtype: the weights accumulate into color-typed buffers below
+    # (mixed f64 points / f32 colors must not promote the scatter).
+    wfull = jnp.where(in_b, wbil * wdepth, 0.0).astype(colors.dtype)  # (4, N)
 
     den = jnp.zeros((p + 1,), dtype=colors.dtype)
     for k in range(4):
