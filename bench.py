@@ -24,12 +24,13 @@ import json
 import time
 
 
-def build_workload(args, mesh_step: int, association: str):
+def build_workload(args, mesh_step: int, association: str,
+                   semantic: bool = False):
     """Config + initial state + two preloaded frames for one workload."""
     import jax
     import jax.numpy as jnp
 
-    from super_tpu.config import CapacityConfig, SuPerConfig
+    from super_tpu.config import CapacityConfig, LossConfig, SuPerConfig
     from super_tpu.core.graph import grid_layout
     from super_tpu.core.preprocess import preprocess_frame
     from super_tpu.core.tracker import init_tracker
@@ -46,6 +47,21 @@ def build_workload(args, mesh_step: int, association: str):
     node_cap = round64(len(anchors))
     chunk = 32768
     surfel_cap = -(-int(1.25 * h * w) // chunk) * chunk  # headroom, aligned
+    num_classes = 2
+    extra_cfg = {}
+    if semantic:
+        # The reference's DEFAULT solver configuration (BASELINE config 3;
+        # run_semantic_super defaults): autograd GraphFit with soft-seg ICP
+        # + face + bn_morph + rot, Adam (deform_mesh.py:251-378).
+        extra_cfg = dict(
+            method="semantic-super", num_classes=num_classes, load_seg=True,
+            losses=LossConfig(
+                sf_point_plane=False,
+                sf_soft_seg_point_plane=True,
+                mesh_arap=False, mesh_rot=True, mesh_face=True,
+                sf_bn_morph=True,
+            ),
+        )
     cfg = SuPerConfig(
         height=h, width=w, mesh_step_size=mesh_step,
         capacity=CapacityConfig(
@@ -58,7 +74,23 @@ def build_workload(args, mesh_step: int, association: str):
             # scatter width.  add_overflow in StepOutputs guards the margin.
             new_surfel_capacity=8192,
         ),
+        **extra_cfg,
     )
+    if semantic:
+        cfg = cfg.replace(solver=dataclasses.replace(
+            cfg.solver, use_derived_gradient=False, optimizer="Adam",
+            learning_rate=2e-4))
+        intr = default_intrinsics(h, w)
+        seq = generate(3, h, w, intr=intr, num_classes=num_classes)
+        pre = jax.jit(lambda d, c, t, s, sc: preprocess_frame(
+            cfg, intr, d, c, t, seg=s, seg_conf=sc))
+        frames = [pre(jnp.asarray(seq.depths[t]),
+                      jnp.asarray(seq.colors[t].transpose(2, 0, 1)),
+                      jnp.float32(t), jnp.asarray(seq.segs[t]),
+                      jnp.asarray(seq.seg_confs[t]))
+                  for t in range(3)]
+        state0 = init_tracker(cfg, frames[0])
+        return cfg, intr, state0, frames
     solver_kw = dict(association=association)
     if node_cap > 512:
         # Dense ED graph (mesh_step 16-ish): more distinct anchor
@@ -166,6 +198,39 @@ def measure_step(args, mesh_step: int, association: str, reps: int) -> float:
     return b * reps / dt, overflow
 
 
+def measure_semantic(args, reps: int) -> float:
+    """Frames/s of the autograd Semantic-SuPer step (the reference's
+    DEFAULT solver: GraphFit Adam, deform_mesh.py:251-378), device-resident
+    frame loop as in measure_step."""
+    import jax
+    import jax.numpy as jnp
+
+    from super_tpu.core.tracker import track_step
+
+    cfg, intr, state0, frames = build_workload(args, args.mesh_step_size,
+                                               "per_iteration",
+                                               semantic=True)
+    frames2 = jax.tree.map(lambda a, c: jnp.stack([a, c]), frames[1],
+                           frames[2])
+
+    def body(st, ix):
+        fr = jax.tree.map(lambda a: a[ix], frames2)
+        st, outs = track_step(cfg, intr, st, fr)
+        return st, outs.lm_cost
+
+    @jax.jit
+    def run(st):
+        ixs = jnp.arange(reps, dtype=jnp.int32) % 2
+        return jax.lax.scan(body, st, ixs)
+
+    st, costs = run(state0)                 # warm-up / compile
+    jax.device_get(costs)
+    tic = time.perf_counter()
+    st, costs = run(state0)
+    jax.device_get(costs)
+    return reps / (time.perf_counter() - tic)
+
+
 def measure_lm(args, reps: int) -> float:
     """Pure LM frame-solves/s (10 damped GN iterations, no fusion)."""
     import jax
@@ -247,6 +312,11 @@ def main():
                         max(6, args.reps // 5))[0] / args.streams, 3)
                 except Exception as e:  # noqa: BLE001 -- report, keep line
                     extra["dense_mesh16_error"] = type(e).__name__
+            try:
+                extra["semantic_hz"] = round(
+                    measure_semantic(args, max(6, args.reps // 3)), 3)
+            except Exception as e:  # noqa: BLE001 -- report, keep line
+                extra["semantic_error"] = type(e).__name__
 
     per_stream_hz = frames_per_s / args.streams
     print(json.dumps({

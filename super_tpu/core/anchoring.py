@@ -46,14 +46,17 @@ def _softmax_exp_neg0(scores, finite_mask):
     return _stable_softmax0(z)
 
 
-def _jsd_channelwise(graph_conf_t, idx, q_conf):
+def _jsd_channelwise(graph_conf_t, idx, q_conf, ps=None):
     """JSD between anchor-node class confidences and per-point confidences.
 
     graph_conf_t: (C, J); idx: (K, N) anchor ids; q_conf: (C, N).
     Returns (K, N).  Channel-wise rank-1 gathers keep buffers compact.
+    ``ps`` (C, K, N) passes pre-gathered anchor confidences in (the fusion
+    reweight folds them into its pair-packed gather).
     """
     c = graph_conf_t.shape[0]
-    ps = jnp.take(graph_conf_t, idx, axis=-1)  # (C, K, N), one gather
+    if ps is None:
+        ps = jnp.take(graph_conf_t, idx, axis=-1)  # (C, K, N), one gather
     kl_pm = 0.0
     kl_qm = 0.0
     for ch in range(c):
@@ -110,13 +113,20 @@ def anchor_points(
     return idx, w, stable
 
 
-def _anchor_weights(cfg, graph, idx, dists, radii, finite, seg_conf):
+def _anchor_weights(cfg, graph, idx, dists, radii, finite, seg_conf,
+                    conf_ps=None):
     nd = dists / jnp.maximum(radii, 1e-12)
     if cfg.method == "semantic-super" and not cfg.hard_seg and seg_conf is not None:
-        div = _jsd_channelwise(graph.seg_conf.T, idx, seg_conf)
+        div = _jsd_channelwise(graph.seg_conf.T, idx, seg_conf, ps=conf_ps)
         scores = 0.5 * div + 0.5 * nd  # log of the geometric blend
         return _softmax_exp_neg0(scores, finite)
     return _softmax_exp_neg0(nd, finite)
+
+
+# Pair-packing threshold: the (2F, J^2) pair table costs J^2 * 2F * 4 B to
+# build per call (J = 336 -> 3.6 MB, ~free); past ~1<<19 columns the table
+# build overtakes the index savings, so dense graphs keep the plain gather.
+_PAIR_BANK_MAX_COLS = 1 << 19
 
 
 def recompute_surfel_weights(cfg: SuPerConfig, surfels: SurfelState,
@@ -124,14 +134,39 @@ def recompute_surfel_weights(cfg: SuPerConfig, surfels: SurfelState,
     """Refresh knn_w from current positions, keeping anchor indices
     (fusion step, nodes.py:466-484)."""
     idx = surfels.knn_idx                   # (K, N)
-    # One packed (4, J) bank -> one gather for anchors AND radii (gathers
-    # cost per index; K*N is ~1.6M at 480p).
-    bank = jnp.concatenate([graph.points.T, graph.radii[None]], axis=0)
-    g = jnp.take(bank, idx, axis=-1)                  # (4, K, N)
+    k, n = idx.shape
+    j = graph.radii.shape[0]
+    rows = [graph.points.T, graph.radii[None]]        # (4, J)
+    semantic = (cfg.method == "semantic-super" and not cfg.hard_seg
+                and surfels.seg_conf is not None)
+    if semantic:
+        rows.append(graph.seg_conf.T)                 # + (C, J)
+    bank = jnp.concatenate(rows, axis=0)              # (F, J)
+    f = bank.shape[0]
+    conf_ps = None
+    if k % 2 == 0 and j * j <= _PAIR_BANK_MAX_COLS:
+        # Pair-packed gather: gathers cost per INDEX (CLAUDE.md cost
+        # model), so folding each anchor PAIR (a, b) into one column of a
+        # precomputed (2F, J^2) table halves the index count (K*N = 1.6M
+        # -> K*N/2 at 480p) for the exact same f32 values.
+        a_side = jnp.broadcast_to(bank[:, :, None], (f, j, j))
+        b_side = jnp.broadcast_to(bank[:, None, :], (f, j, j))
+        bank2 = jnp.concatenate([a_side, b_side],
+                                axis=0).reshape(2 * f, j * j)
+        pidx = (idx.reshape(k // 2, 2, n)[:, 0] * j
+                + idx.reshape(k // 2, 2, n)[:, 1])    # (K/2, N)
+        g2 = jnp.take(bank2, pidx, axis=-1)           # (2F, K/2, N)
+        # De-interleave pairs back to anchor-major (F, K, N).
+        g = jnp.stack([g2[:f], g2[f:]],
+                      axis=2).reshape(f, k, n)
+    else:
+        g = jnp.take(bank, idx, axis=-1)              # (F, K, N)
     anchors, radii = g[:3], g[3]
+    if semantic:
+        conf_ps = g[4:]                               # (C, K, N)
     diff = surfels.points[:, None, :] - anchors
     dists = jnp.sqrt(jnp.sum(diff * diff, axis=0))    # (K, N)
     finite = jnp.ones_like(dists, dtype=bool)
     w = _anchor_weights(cfg, graph, idx, dists, radii, finite,
-                        surfels.seg_conf)
+                        surfels.seg_conf, conf_ps=conf_ps)
     return surfels._replace(knn_w=w)

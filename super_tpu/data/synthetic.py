@@ -70,9 +70,23 @@ def _deform(points, t):
 
 def generate(num_frames: int, height: int, width: int,
              intr: Intrinsics = None, num_track: int = 20,
-             seed: int = 0, num_classes: int = 0) -> SyntheticSequence:
+             seed: int = 0, num_classes: int = 0,
+             variant: str = "clean") -> SyntheticSequence:
     """When num_classes > 0, also emit material-tied semantic labels (regions
-    move with the surface, like tissue classes in Semantic-SuPer)."""
+    move with the surface, like tissue classes in Semantic-SuPer).
+
+    ``variant`` hardens the scene toward real endoscopic conditions
+    (SURVEY section 6 workload anchors; the clean scene is too easy to
+    defend accuracy claims on):
+      - "clean":     exact rendering (default).
+      - "occlusion": a foreground tool-like disk sweeps the view; depth and
+                     color are replaced, occluded GT points marked invalid.
+      - "noise":     depth-dependent Gaussian depth noise + dropout holes
+                     (NaN), like stereo-matching failures.
+      - "specular":  saturated moving highlights with blown-out depth (NaN
+                     cores), like wet-tissue specularities.
+      - "hard":      all three combined.
+    """
     if intr is None:
         fx = fy = 500.0
         cx, cy = width / 2 - 0.37, height / 2 + 0.21  # off-integer principal pt
@@ -127,11 +141,51 @@ def generate(num_frames: int, height: int, width: int,
         conf = e / e.sum(0, keepdims=True)
         return conf.argmax(0).astype(np.int32), conf.astype(np.float32)
 
+    occlude = variant in ("occlusion", "hard")
+    noisy = variant in ("noise", "hard")
+    specular = variant in ("specular", "hard")
+
+    def occluder_center(t):
+        """Foreground disk center (pixels): sweeps across the view."""
+        cu = width * (0.15 + 0.35 * (1.0 + np.sin(0.11 * t + 1.0)))
+        cv = height * (0.25 + 0.25 * (1.0 + np.sin(0.07 * t)))
+        return cu, cv
+
+    occ_r = 0.11 * min(height, width)
+    occ_z = 0.32  # well in front of the ~0.55 m surface
+
+    def spec_centers(t):
+        """Two drifting specular highlight centers (pixels)."""
+        return [
+            (width * (0.5 + 0.3 * np.sin(0.23 * t)),
+             height * (0.5 + 0.3 * np.cos(0.19 * t))),
+            (width * (0.5 + 0.35 * np.cos(0.13 * t + 2.0)),
+             height * (0.5 + 0.25 * np.sin(0.29 * t + 1.0))),
+        ]
+
+    spec_r = 0.045 * min(height, width)
+
     depths, colors, gts, gtv, segs, confs = [], [], [], [], [], []
     for t in range(num_frames):
         x0, y0, z = material_coords_and_depth(float(t))
+        col = color_from_material(x0, y0)
+        if specular:
+            for (su, sv) in spec_centers(float(t)):
+                r2 = (uu - su) ** 2 + (vv - sv) ** 2
+                glow = np.exp(-0.5 * r2 / spec_r ** 2)
+                col = col + (1.0 - col) * np.minimum(
+                    2.0 * glow, 1.0)[..., None].astype(np.float32)
+                z = np.where(r2 < (0.6 * spec_r) ** 2, np.nan, z)  # blown core
+        if noisy:
+            z = z + rng.normal(0.0, 8e-4, z.shape) * (z / 0.55) ** 2
+            z = np.where(rng.random(z.shape) < 0.01, np.nan, z)  # dropout
+        if occlude:
+            cu, cv = occluder_center(float(t))
+            occ = (uu - cu) ** 2 + (vv - cv) ** 2 < occ_r ** 2
+            z = np.where(occ, occ_z, z)
+            col = np.where(occ[..., None], np.float32(0.35), col)
         depths.append(z.astype(np.float32))
-        colors.append(color_from_material(x0, y0))
+        colors.append(np.clip(col, 0.0, 1.0).astype(np.float32))
         if num_classes > 0:
             s, cmap = seg_from_material(x0, y0)
             segs.append(s)
@@ -140,7 +194,11 @@ def generate(num_frames: int, height: int, width: int,
         gu = pt[:, 0] * fx / pt[:, 2] + cx
         gv = pt[:, 1] * fy / pt[:, 2] + cy
         gts.append(np.stack([gu, gv], axis=-1).astype(np.float32))
-        gtv.append((gu > 1) & (gu < width - 2) & (gv > 1) & (gv < height - 2))
+        gv_ok = (gu > 1) & (gu < width - 2) & (gv > 1) & (gv < height - 2)
+        if occlude:
+            cu, cv = occluder_center(float(t))
+            gv_ok &= (gu - cu) ** 2 + (gv - cv) ** 2 > (occ_r + 2.0) ** 2
+        gtv.append(gv_ok)
 
     return SyntheticSequence(
         depths=np.stack(depths),

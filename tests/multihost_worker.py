@@ -20,10 +20,21 @@ NPROC = int(sys.argv[2])
 PORT = sys.argv[3]
 
 os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+# (The generous in-process rendezvous timeouts that de-skew 8 device
+# threads on ~4 cores are per-jit compiler options -- set by
+# make_multichip_step; they are NOT valid in XLA_FLAGS.)
 
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent compile cache: the two workers build identical executables,
+# and a retry (or a second test run) must not pay the full compile again
+# while its peer waits in a distributed barrier.
+_cache = os.environ.get("SUPER_TPU_TEST_CACHE",
+                        "/tmp/super_tpu_jax_cache")
+os.makedirs(_cache, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 

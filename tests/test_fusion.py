@@ -149,3 +149,23 @@ def test_duplicate_clique_merge_exact():
     # Merged position stays the common point.
     np.testing.assert_allclose(np.asarray(surfels2.points[:, 0]),
                                np.asarray(p0), atol=1e-5)
+
+
+def test_reweight_pair_packed_gather_exact(tracked_state):
+    """The pair-packed (2F, J^2) anchor-table gather in
+    recompute_surfel_weights must be bit-exact vs the plain (F, J) gather
+    (same f32 values, half the gather indices)."""
+    from super_tpu.core import anchoring
+
+    cfg, intr, st = tracked_state
+    out_pair = anchoring.recompute_surfel_weights(cfg, st.surfels,
+                                                  st.graph).knn_w
+    old = anchoring._PAIR_BANK_MAX_COLS
+    anchoring._PAIR_BANK_MAX_COLS = 0   # force the plain-gather path
+    try:
+        out_plain = anchoring.recompute_surfel_weights(cfg, st.surfels,
+                                                       st.graph).knn_w
+    finally:
+        anchoring._PAIR_BANK_MAX_COLS = old
+    np.testing.assert_array_equal(np.asarray(out_pair),
+                                  np.asarray(out_plain))
