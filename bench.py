@@ -231,6 +231,89 @@ def measure_semantic(args, reps: int) -> float:
     return reps / (time.perf_counter() - tic)
 
 
+def measure_sol(args, reps: int = 40) -> dict:
+    """Per-stage achieved-vs-modeled-floor accounting (utils/sol.py).
+
+    Times the hot stages of the headline per_frame workload with the
+    amortized in-program loop (profiling.loop_time) and reports
+    sol_frac = modeled_floor / achieved per stage (+ MFU for the MXU
+    assembly), flagging stages below 50% of the model.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from super_tpu.core import fusion as fusion_mod
+    from super_tpu.core.lm import _pairs_fused_solve
+    from super_tpu.core.losses import (
+        assemble_normal_equations,
+        associate,
+        prepare_lm,
+    )
+    from super_tpu.geometry.quaternion import IDENTITY_DQ
+    from super_tpu.utils import sol
+    from super_tpu.utils.profiling import loop_time
+
+    cfg, intr, state0, frames = build_workload(args, args.mesh_step_size,
+                                               "per_frame")
+    sol_cfg = cfg  # pairs_fused + bf16 gram: the headline solver config
+    ctx = jax.jit(lambda s: prepare_lm(sol_cfg, s.surfels, s.graph,
+                                       frames[1]))(state0)
+    j_cap = cfg.capacity.node_capacity
+    beta0 = jnp.tile(IDENTITY_DQ[None], (j_cap, 1))
+    assoc = jax.jit(lambda c: associate(sol_cfg, c, beta0 * 1.0, intr,
+                                        identity=True))(ctx)
+    acc, jtr, _ = jax.jit(lambda c, b: assemble_normal_equations(
+        sol_cfg, c, b, intr, assoc=assoc, with_cost=True))(ctx, beta0 * 1.0)
+
+    def probe_sum(tree):
+        accum = jnp.float32(0)
+        for a in jax.tree.leaves(tree):
+            if hasattr(a, "dtype"):
+                accum = accum + jnp.sum(a).astype(jnp.float32)
+        return accum
+
+    def bump(tree, d):
+        # Perturb float leaves by a data-dependent zero so XLA cannot
+        # hoist the stage out of the timing loop (see breakdown.py).
+        return jax.tree.map(
+            lambda a: a + d.astype(a.dtype) * 0
+            if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating)
+            else a, tree)
+
+    stages = {
+        "prepare": lambda d: probe_sum(prepare_lm(
+            sol_cfg, state0.surfels, state0.graph, bump(frames[1], d))),
+        # identity association ignores beta -- perturb the ctx itself.
+        "assoc": lambda d: probe_sum(associate(
+            sol_cfg, bump(ctx, d), beta0, intr, identity=True)),
+        "assemble": lambda d: probe_sum(assemble_normal_equations(
+            sol_cfg, ctx, beta0 + 0 * d, intr, assoc=assoc,
+            with_cost=True)),
+        "solve": lambda d: probe_sum(_pairs_fused_solve(
+            sol_cfg, ctx.layout, acc + 0 * d, jtr, jnp.float32(10.0),
+            j_cap)),
+        "fuse": lambda d: probe_sum(fusion_mod.fuse_frame(
+            sol_cfg, intr,
+            state0.surfels._replace(points=state0.surfels.points + 0 * d),
+            state0.graph, frames[1])),
+    }
+    achieved = {}
+    for name, fn in stages.items():
+        achieved[name] = loop_time(  # -> ms/iteration
+            lambda acc_, _fn=fn: _fn(acc_).astype(jnp.float32),
+            jnp.float32(0.0), n_iter=reps)
+
+    np_cap = cfg.capacity.surfel_capacity
+    floors = sol.stage_floors(
+        np_cap=np_cap, p=cfg.image_pixels, j=j_cap,
+        t_cap=cfg.solver.assembly_tuple_cap,
+        a_cap=cfg.capacity.new_surfel_capacity,
+        pcg_iters=cfg.solver.pcg_iterations,
+        num_lm_iters=cfg.solver.num_iterations)
+    mxu_flops = {"assemble": np_cap * 28 * 29 * 2}
+    return sol.sol_report(achieved, floors, mxu_flops=mxu_flops)
+
+
 def measure_lm(args, reps: int) -> float:
     """Pure LM frame-solves/s (10 damped GN iterations, no fusion)."""
     import jax
@@ -276,6 +359,10 @@ def main():
     ap.add_argument("--no_dense", action="store_true",
                     help="skip the dense mesh-16 entry of the default sweep")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--sol", action="store_true",
+                    help="measure per-stage achieved-vs-modeled-floor "
+                         "accounting live (writes SOL.json); without this "
+                         "flag the last committed SOL.json is embedded")
     ap.add_argument("--host_loop", action="store_true",
                     help="dispatch one step per frame from the host instead "
                          "of the device-resident lax.scan frame loop")
@@ -317,6 +404,20 @@ def main():
                     measure_semantic(args, max(6, args.reps // 3)), 3)
             except Exception as e:  # noqa: BLE001 -- report, keep line
                 extra["semantic_error"] = type(e).__name__
+        import os
+        sol_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "SOL.json")
+        if args.sol:
+            # Live per-stage speed-of-light accounting (adds ~5 stage
+            # compiles); persisted so plain bench runs can embed it.
+            sol_rep = measure_sol(args)
+            with open(sol_path, "w") as f:
+                json.dump(sol_rep, f, indent=1)
+            extra["sol"] = sol_rep
+        elif os.path.exists(sol_path):
+            with open(sol_path) as f:
+                extra["sol"] = json.load(f)
+            extra["sol"]["note"] = "committed SOL.json; refresh: --sol"
 
     per_stream_hz = frames_per_s / args.streams
     print(json.dumps({

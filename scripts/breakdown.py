@@ -135,7 +135,7 @@ def main():
         ctx, probe=lambda r: r.cost)
     # prepare_lm sub-stages.
     from super_tpu.core import assembly as assembly_mod
-    from super_tpu.ops.bilinear import build_corner_bank
+    from super_tpu.ops.bilinear import build_corner_bank_z
     reg("prep_layout",
         jax.jit(lambda s: assembly_mod.build_tuple_layout(
             s.surfels.knn_idx, s.surfels.active,
@@ -145,7 +145,7 @@ def main():
             pair_cap=cfg.solver.assembly_pair_cap)),
         state0, probe=lambda lo: jnp.sum(lo.block_tuple[:64]))
     reg("prep_bank",
-        jax.jit(lambda f: build_corner_bank(
+        jax.jit(lambda f: build_corner_bank_z(
             f.points, f.norms, f.index_map(cfg.height, cfg.width))),
         frames[1], probe=lambda b: jnp.sum(b[:, :64]))
     from super_tpu.core.losses import associate

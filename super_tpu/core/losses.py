@@ -41,9 +41,9 @@ from super_tpu.geometry.quaternion import (
     transform_quat_t_jac,
 )
 from super_tpu.ops.bilinear import (
-    bilinear_sample_bank,
-    bilinear_sample_bank_fm,
-    build_corner_bank,
+    bilinear_sample_bank_z,
+    bilinear_sample_bank_z_fm,
+    build_corner_bank_z,
 )
 
 
@@ -76,9 +76,10 @@ class LMContext(NamedTuple):
     trg_points: jnp.ndarray    # (3, P) candidate points (pixel-indexed)
     trg_norms: jnp.ndarray     # (3, P)
     trg_index_map: jnp.ndarray  # (H, W)
-    trg_corner_bank: jnp.ndarray  # (28, P) 4-corner [valid, point, norm]
-    #   blocks (ops/bilinear.py:build_corner_bank) -- the data-term sampler
-    #   reads THIS at 1 gather index per query instead of 12
+    trg_corner_bank: jnp.ndarray  # (16, P) 4-corner [z, norm] blocks
+    #   (ops/bilinear.py:build_corner_bank_z) -- the data-term sampler
+    #   reads THIS at 1 gather index per query instead of 12, and
+    #   reconstructs x/y bit-exactly from the corner pixel coordinate
     # --- ARAP term (graph-sized, row-major) ---
     ed_mask: jnp.ndarray       # (J,) active nodes
     ed_knn_idx: jnp.ndarray    # (J, K_ed)
@@ -190,8 +191,8 @@ def prepare_lm(cfg: SuPerConfig, surfels: SurfelState, graph: GraphState,
         trg_points=frame.points,
         trg_norms=frame.norms,
         trg_index_map=index_map,
-        trg_corner_bank=build_corner_bank(frame.points, frame.norms,
-                                          index_map),
+        trg_corner_bank=build_corner_bank_z(frame.points, frame.norms,
+                                            index_map),
         ed_mask=graph.active,
         ed_knn_idx=ed_knn_idx,
         ed_pair_mask=ed_pair_mask,
@@ -280,8 +281,8 @@ def _project_and_sample(cfg: SuPerConfig, ctx: LMContext, chunk: DataChunk,
     # implied: the rounded pixel IS one of the 4 bilinear corners, and
     # ``svalid`` below already requires all 4 corners valid -- so the
     # 1-row index_map gather (~3.5 ms at 480p) is dropped, mask unchanged.
-    new_points, new_norms, svalid, dpdpi, dndpi = bilinear_sample_bank(
-        ctx.trg_corner_bank, h, w, v, u, compute_grad=grad)
+    new_points, new_norms, svalid, dpdpi, dndpi = bilinear_sample_bank_z(
+        ctx.trg_corner_bank, intr, h, w, v, u, compute_grad=grad)
     mask = chunk.mask & proj_valid & svalid
     return new_points, new_norms, dpdpi, dndpi, mask
 
@@ -376,8 +377,8 @@ def associate(cfg: SuPerConfig, ctx: LMContext, beta, intr: Intrinsics,
         v, u, _, proj_valid = project_points(tp, intr, h, w)
         # Center-pixel index-map check implied by the all-4-corner validity
         # of the bank sample (see _project_and_sample).
-        o, n, svalid = bilinear_sample_bank_fm(ctx.trg_corner_bank, h, w,
-                                               v, u)
+        o, n, svalid = bilinear_sample_bank_z_fm(ctx.trg_corner_bank, intr,
+                                                 h, w, v, u)
         mask = xs_elem[0] & proj_valid & svalid
         return o, n, mask  # (3, C), (3, C), (C,)
 
@@ -576,8 +577,8 @@ def _project_sample_fm(cfg, ctx, tp, mask_c, intr, grad: bool):
     v, u, _, proj_valid = project_points(tp, intr, h, w)
     # Center-pixel index-map check implied by the all-4-corner validity of
     # the bank sample (see _project_and_sample).
-    out = bilinear_sample_bank_fm(ctx.trg_corner_bank, h, w, v, u,
-                                  compute_grad=grad)
+    out = bilinear_sample_bank_z_fm(ctx.trg_corner_bank, intr, h, w, v, u,
+                                    compute_grad=grad)
     mask = mask_c & proj_valid & out[2]
     return (out[0], out[1], mask) + out[3:]
 

@@ -25,6 +25,7 @@ cheap.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -269,6 +270,121 @@ def bilinear_sample_bank_fm(bank, h: int, w: int, v, u, *,
     if not compute_grad:
         return va, vb, ok
     return va, vb, ok, ga_u, ga_v, gb_u, gb_v
+
+
+def build_corner_bank_z(points_fm, norms_fm, index_map):
+    """Depth-only corner bank: per pixel, [z, nx, ny, nz] of its 4 bilinear
+    corners -- (16, H*W) instead of :func:`build_corner_bank`'s (28, H*W).
+
+    Target points are backprojections of KNOWN pixel centers
+    (geometry/camera.py:backproject_depth: x = (u - cx) z / fx), so the
+    sampler reconstructs x/y from the corner's pixel coordinate and the
+    gathered z -- bit-exactly, same ops in the same order -- and the hot
+    gather moves 16 rows instead of 28 (gather cost scales with bytes per
+    index past the fixed cost; CLAUDE.md cost model).  Corner validity is
+    folded into the normal rows: normals are unit where valid and zeroed
+    where not, so ``|n|^2 > 0.5`` replaces the explicit valid row.
+    """
+    h, w = index_map.shape
+    valid = (index_map >= 0)
+    zrow = jnp.where(valid, points_fm.reshape(3, h, w)[2], 0.0)[None]
+    nms = jnp.where(valid[None], norms_fm.reshape(3, h, w), 0.0)
+    base = jnp.concatenate([zrow, nms], axis=0)           # (4, h, w)
+    zc = jnp.zeros((4, h, 1), base.dtype)
+    zr = jnp.zeros((4, 1, w), base.dtype)
+    right = jnp.concatenate([base[:, :, 1:], zc], axis=2)       # (y, x+1)
+    down = jnp.concatenate([base[:, 1:, :], zr], axis=1)        # (y+1, x)
+    downright = jnp.concatenate([down[:, :, 1:], zc], axis=2)   # (y+1, x+1)
+    return jnp.concatenate([base, right, down, downright],
+                           axis=0).reshape(16, h * w)
+
+
+def _zbank_corners(bank, intr, h, w, v, u):
+    """Shared z-bank gather + per-corner reconstruction.
+
+    Yields ((jn, jm), o (3, N), n (3, N), corner_ok (N,)) per corner, plus
+    the floor coords; o is reconstructed x = (u_c - cx) z / fx etc. --
+    bit-identical to the stored point rows of build_corner_bank at every
+    in-range corner (same formula, same op order, f32).
+    """
+    fl_v = jnp.floor(v)
+    fl_u = jnp.floor(u)
+    vi = fl_v.astype(jnp.int32)
+    ui = fl_u.astype(jnp.int32)
+    flat = jnp.clip(vi, 0, h - 1) * w + jnp.clip(ui, 0, w - 1)
+    g = jnp.take(bank, flat, axis=-1)                   # (16, N)
+    # The gather feeds many consumers (values + 4 STN gradient banks); an
+    # explicit barrier stops XLA from DUPLICATING it into per-consumer
+    # fusions (gathers cost ~ms each at this index count -- rematerializing
+    # one is never worth it).
+    g = jax.lax.optimization_barrier(g)
+
+    corners = []
+    for j, (jn, jm) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
+        blk = g[4 * j:4 * j + 4]
+        z = blk[0]
+        n = blk[1:4]
+        # Unit normal where valid, zeroed where not (build_corner_bank_z).
+        c_ok = jnp.sum(n * n, axis=0) > 0.5
+        x = (fl_u + jm - intr.cx) * z / intr.fx
+        y = (fl_v + jn - intr.cy) * z / intr.fy
+        corners.append(((jn, jm), jnp.stack([x, y, z]), n, c_ok))
+    return corners, fl_v, fl_u, vi, ui
+
+
+def bilinear_sample_bank_z_fm(bank, intr, h: int, w: int, v, u, *,
+                              compute_grad=False):
+    """Feature-major sampling of a :func:`build_corner_bank_z` bank.
+
+    Return-identical to :func:`bilinear_sample_bank_fm` on the matching
+    (28, P) bank at every VALID query (invalid queries are don't-cares,
+    masked by all callers): the x/y reconstruction is bit-exact and the
+    validity test is equivalent (valid <=> stored unit normal)."""
+    corners, fl_v, fl_u, vi, ui = _zbank_corners(bank, intr, h, w, v, u)
+
+    dn = (fl_v - v, fl_v + 1.0 - v)
+    dm = (fl_u - u, fl_u + 1.0 - u)
+    wn = tuple(jnp.maximum(1.0 - jnp.abs(x), 0.0) for x in dn)
+    wm = tuple(jnp.maximum(1.0 - jnp.abs(x), 0.0) for x in dm)
+
+    va = 0.0
+    vb = 0.0
+    ok = (vi >= 0) & (vi + 1 < h) & (ui >= 0) & (ui + 1 < w)
+    if compute_grad:
+        sn = tuple(jnp.where(x >= 0, 1.0, -1.0) for x in dn)
+        sm = tuple(jnp.where(x >= 0, 1.0, -1.0) for x in dm)
+        ga_u = ga_v = gb_u = gb_v = 0.0
+    for (jn, jm), o, n, c_ok in corners:
+        ok = ok & c_ok
+        wc = (wn[jn] * wm[jm])[None]
+        va = va + wc * o
+        vb = vb + wc * n
+        if compute_grad:
+            wu = (wn[jn] * sm[jm])[None]
+            wv = (wm[jm] * sn[jn])[None]
+            ga_u = ga_u + wu * o
+            ga_v = ga_v + wv * o
+            gb_u = gb_u + wu * n
+            gb_v = gb_v + wv * n
+    if not compute_grad:
+        return va, vb, ok
+    return va, vb, ok, ga_u, ga_v, gb_u, gb_v
+
+
+def bilinear_sample_bank_z(bank, intr, h: int, w: int, v, u, *,
+                           compute_grad=False):
+    """Row-major sampling of a :func:`build_corner_bank_z` bank; returns
+    ((N, 3) points, (N, 3) norms, valid, grad_a (N, 3, 2), grad_b) like
+    :func:`bilinear_sample_bank` -- same values at every VALID query."""
+    out = bilinear_sample_bank_z_fm(bank, intr, h, w, v, u,
+                                    compute_grad=compute_grad)
+    va, vb, ok = out[0].T, out[1].T, out[2]
+    if not compute_grad:
+        return va, vb, ok, None, None
+    ga_u, ga_v, gb_u, gb_v = out[3:]
+    grad_a = jnp.stack([ga_u.T, ga_v.T], axis=2)   # (N, 3, 2)
+    grad_b = jnp.stack([gb_u.T, gb_v.T], axis=2)
+    return va, vb, ok, grad_a, grad_b
 
 
 def bilinear_sample_image(image_fm, v, u):

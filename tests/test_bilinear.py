@@ -87,3 +87,50 @@ def test_bank_fm_matches_bank(setup):
                                np.asarray(va.T)[sel], atol=1e-6)
     np.testing.assert_allclose(np.asarray(ra[1])[sel],
                                np.asarray(vb.T)[sel], atol=1e-6)
+
+
+def test_zbank_matches_full_bank_on_backprojected_frame(rng):
+    """The depth-only (16, P) z-bank must reproduce the (28, P) bank's
+    values/validity/gradients BIT-EXACTLY at every valid query -- its x/y
+    reconstruction (x = (u - cx) z / fx) is the same formula, same op
+    order, as backproject_depth, which is how frame corner points are
+    built in the tracker."""
+    from super_tpu.geometry.camera import Intrinsics, backproject_depth
+    from super_tpu.ops.bilinear import (
+        bilinear_sample_bank_fm,
+        bilinear_sample_bank_z_fm,
+        build_corner_bank_z,
+    )
+
+    h, w = 19, 29
+    p = h * w
+    intr = Intrinsics(fx=jnp.float32(57.0), fy=jnp.float32(61.0),
+                      cx=jnp.float32(w / 2 - 0.37),
+                      cy=jnp.float32(h / 2 + 0.21))
+    depth = jnp.asarray(0.4 + 0.3 * rng.random((h, w)), jnp.float32)
+    points = backproject_depth(depth, intr).reshape(3, p)
+    nr = rng.normal(size=(3, p))
+    norms = jnp.asarray(nr / np.linalg.norm(nr, axis=0), jnp.float32)
+    valid = rng.uniform(size=(h, w)) > 0.25
+    index_map = jnp.where(jnp.asarray(valid),
+                          jnp.arange(p, dtype=jnp.int32).reshape(h, w), -1)
+
+    n = 700
+    v = jnp.asarray(rng.uniform(-2.0, h + 1.0, size=n), jnp.float32)
+    u = jnp.asarray(rng.uniform(-2.0, w + 1.0, size=n), jnp.float32)
+    v = v.at[:20].set(jnp.floor(v[:20]))
+    u = u.at[10:30].set(jnp.floor(u[10:30]))
+
+    bank28 = build_corner_bank(points, norms, index_map)
+    bank16 = build_corner_bank_z(points, norms, index_map)
+    assert bank16.shape == (16, p)
+
+    ref = bilinear_sample_bank_fm(bank28, h, w, v, u, compute_grad=True)
+    out = bilinear_sample_bank_z_fm(bank16, intr, h, w, v, u,
+                                    compute_grad=True)
+    ok_ref = np.asarray(ref[2])
+    ok_out = np.asarray(out[2])
+    np.testing.assert_array_equal(ok_out, ok_ref)
+    for a, b in zip(out[:2] + out[3:], ref[:2] + ref[3:]):
+        np.testing.assert_array_equal(np.asarray(a)[:, ok_ref],
+                                      np.asarray(b)[:, ok_ref])

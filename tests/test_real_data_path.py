@@ -66,7 +66,16 @@ def _write_v1_dir(root, with_png_seg=False):
 def test_run_super_on_v1_layout_dir(tmp_path):
     """run_super.main() over a synthesized V1-layout dir must produce GT
     metrics AND the super_cpp baseline co-report."""
-    import run_super
+    # Import by explicit path: the torch-parity tests put /root/reference
+    # on sys.path, whose own run_super.py would shadow ours in a full
+    # suite run.
+    import importlib.util
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "_repo_run_super", os.path.join(repo_root, "run_super.py"))
+    run_super = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(run_super)
 
     _write_v1_dir(str(tmp_path))
     out = str(tmp_path / "metrics.json")
