@@ -210,6 +210,79 @@ def _merged_values(cfg: SuPerConfig, a: Dict, b: Dict, time,
     return out
 
 
+def _candidate_view(cfg: SuPerConfig, intr: Intrinsics, frame: FrameData,
+                    sf_pix):
+    """Stage-2 per-surfel view of the frame candidate at its pixel.
+
+    Gathers only the IRREDUCIBLE candidate rows -- [z, normal(3),
+    color(3)] (+ seg / seg_conf per mode) -- and reconstructs the rest
+    from the pixel coordinate with the same formulas, same op order, as
+    preprocess_frame (exact in eager mode; within 1 ULP under jit, where
+    XLA's FMA contraction may fuse the two programs differently).
+    Gathers cost per index x row; this is the ~400k-index hot gather of
+    the merge stage:
+      - points: x = (u - cx) z / fx (same ops/order as backproject_depth);
+      - radii:  |z| / (sqrt(2) fx clip(|n_z|, 0.26, 1)) (preprocess_frame);
+      - confs:  center-weighted exp(-d^2 DIVTERM) of the pixel
+        (preprocess_frame; gathered instead when SSIM confidence blending
+        is enabled, which makes confs depth-dependent);
+      - validity: preprocess zeroes normals at invalid pixels and invalid
+        depth is NaN, so every merge gate already fails without a valid
+        row (|n| = 0 fails the cosine test, NaN fails every comparison).
+
+    Returns (fview dict, cand_ok) where cand_ok mirrors frame.valid at the
+    gathered pixel.
+    """
+    from super_tpu.core.preprocess import DIVTERM
+
+    h, w = cfg.height, cfg.width
+    fdt = frame.points.dtype
+    need_seg = cfg.hard_seg or cfg.data == "superv1"
+    semantic = cfg.method == "semantic-super"
+    gather_conf = not cfg.disable_ssim_conf
+    rows = [frame.points[2:3], frame.norms, frame.colors]
+    if gather_conf:
+        rows.append(frame.confs[None])
+    if need_seg:
+        rows.append(frame.seg.astype(fdt)[None])
+    if semantic:
+        rows.append(frame.seg_conf)
+    rows.append(frame.valid[None].astype(fdt))
+    fv = gather_rows(jnp.concatenate(rows, axis=0), sf_pix)
+    z, n, colors = fv[0], fv[1:4], fv[4:7]
+    off = 7
+    if gather_conf:
+        confs = fv[off]
+        off += 1
+    if need_seg:
+        seg = fv[off].astype(jnp.int32)
+        off += 1
+    nseg = frame.seg_conf.shape[0] if semantic else 0
+    seg_conf = fv[off:off + nseg]
+    cand_ok = fv[-1] > 0.5
+
+    # Pixel coordinates as f32 (exact: < 2^24), matching preprocess's
+    # meshgrid values.
+    vf = (sf_pix // w).astype(fdt)
+    uf = (sf_pix - (sf_pix // w) * w).astype(fdt)
+    x = (uf - intr.cx) * z / intr.fx
+    y = (vf - intr.cy) * z / intr.fy
+    nz = jnp.clip(jnp.abs(n[2]), 0.26, 1.0)
+    radii = jnp.abs(z) / (jnp.sqrt(2.0) * intr.fx * nz)
+    if not gather_conf:
+        dc2 = (2.0 * uf / w - 1.0) ** 2 + (2.0 * vf / h - 1.0) ** 2
+        confs = jnp.exp(-dc2 * DIVTERM)
+    zseg = jnp.zeros(z.shape, fdt)
+    fview = dict(
+        points=jnp.stack([x, y, z]), norms=n, colors=colors,
+        radii=radii, confs=confs,
+        seg=seg if need_seg else zseg.astype(jnp.int32),
+        time_stamp=zseg,  # merged time_stamp = full(time): never read
+        seg_conf=seg_conf,  # (0, N) outside semantic mode
+    )
+    return fview, cand_ok
+
+
 class FusionDiag(NamedTuple):
     """Capacity-overflow counters of one fusion step (all () int32).
 
@@ -259,32 +332,7 @@ def fuse_frame(cfg: SuPerConfig, intr: Intrinsics, surfels: SurfelState,
     depth_l = cfg.capacity.proj_map_depth
 
     if not cfg.disable_merging_new_surfels:
-        # One gather fetches the candidate fields AND its validity -- but
-        # only the rows stages 2 consumes (gathers cost per index x row:
-        # the full bank is 18+C rows at ~400k indices; the candidate's
-        # time_stamp is never read, seg only feeds the hard-seg gate, and
-        # seg_conf only the semantic merge).
-        fdt = frame.points.dtype
-        need_seg = cfg.hard_seg or cfg.data == "superv1"
-        rows = [frame.points, frame.norms, frame.colors,
-                frame.radii[None], frame.confs[None]]
-        if need_seg:
-            rows.append(frame.seg.astype(fdt)[None])
-        if semantic:
-            rows.append(frame.seg_conf)
-        rows.append(frame.valid[None].astype(fdt))
-        fv = gather_rows(jnp.concatenate(rows, axis=0), sf_pix)
-        nseg = frame.seg_conf.shape[0] if semantic else 0
-        off = 11 + int(need_seg)
-        zseg = jnp.zeros(fv.shape[1:], fdt)
-        fview = dict(
-            points=fv[0:3], norms=fv[3:6], colors=fv[6:9],
-            radii=fv[9], confs=fv[10],
-            seg=(fv[11] if need_seg else zseg).astype(jnp.int32),
-            time_stamp=zseg,  # merged time_stamp = full(time): never read
-            seg_conf=fv[off:off + nseg],  # (0, N) outside semantic mode
-        )
-        cand_ok = fv[-1] > 0.5
+        fview, cand_ok = _candidate_view(cfg, intr, frame, sf_pix)
         sview = _unpack_bank(bank)                     # no gather: own column
         in_map = (sf_layer >= 0) & (sf_layer < depth_l)
         gate_n = in_map & cand_ok & _merge_gate(cfg, sview, fview)

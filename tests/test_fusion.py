@@ -169,3 +169,27 @@ def test_reweight_pair_packed_gather_exact(tracked_state):
         anchoring._PAIR_BANK_MAX_COLS = old
     np.testing.assert_array_equal(np.asarray(out_pair),
                                   np.asarray(out_plain))
+
+
+def test_candidate_view_reconstruction_exact(tracked_state):
+    """Stage-2's slim candidate gather reconstructs points/radii/confs
+    bit-exactly from (pixel, z, normal) -- must equal the frame rows."""
+    from super_tpu.core.fusion import _candidate_view, build_projection_maps
+
+    cfg, intr, st = tracked_state
+    # A fresh frame (same scene scale as the fixture).
+    _, _, seq, frames = tiny_scene(num_frames=2)
+    frame = frames[1]
+    _, _, sf_pix, sf_layer = build_projection_maps(cfg, intr, st.surfels)
+    fview, cand_ok = _candidate_view(cfg, intr, frame, sf_pix)
+
+    pix = np.asarray(sf_pix)
+    live = np.asarray(sf_layer) >= 0  # surfels with a real pixel
+    for key, ref in (("points", frame.points), ("norms", frame.norms),
+                     ("colors", frame.colors), ("radii", frame.radii),
+                     ("confs", frame.confs)):
+        got = np.asarray(fview[key])[..., live]
+        want = np.asarray(ref)[..., pix[live]]
+        np.testing.assert_array_equal(got, want, err_msg=key)
+    np.testing.assert_array_equal(np.asarray(cand_ok)[live],
+                                  np.asarray(frame.valid)[pix[live]])
