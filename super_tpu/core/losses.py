@@ -353,12 +353,7 @@ def associate(cfg: SuPerConfig, ctx: LMContext, beta, intr: Intrinsics,
     # gather-bound and its intermediates are (3, Np) slims, so the chunk
     # size is large (4x the assembly chunk) to keep loop glue negligible.
     np_cap = ctx.sf_mask.shape[0]
-    chunk = np_cap
-    if ctx.layout is not None and ctx.layout.live_end is not None:
-        c = min(np_cap, 4 * 65536)
-        while np_cap % c != 0:
-            c //= 2
-        chunk = max(c, 1)
+    chunk = _sampling_chunk_size(ctx)
     xs, nc = _chunk_xs(ctx, chunk)
     beta_t = (beta[ctx.layout.tuple_nodes] if ctx.layout is not None
               and not identity else None)
@@ -631,6 +626,84 @@ def moving_chunk_partial_fm(cfg, ctx, geom, beta_kfm, intr,
     return part.reshape(nb, 28 * 29), jnp.sum(r * r)
 
 
+def moving_mix_pass(cfg, ctx, beta_t, intr, weight: float):
+    """Big-chunk sampling pass of the per-iteration (moving-target) mode.
+
+    Splitting the moving assembly in two fixes a fixed-cost pathology: the
+    corner-bank gather pays ~1 ms per OP regardless of size, so running it
+    inside every 64k assembly chunk costs nc x the fixed cost (6 x at
+    480p).  This pass runs associate()-sized chunks (ONE gather per 256k
+    surfels), computes the effective normal ``m`` and the weighted masked
+    residual ``r`` (moving_chunk_partial_fm's algebra, same values), and
+    the assembly then consumes (m, r, mask) exactly like a frozen
+    association -- no per-chunk sampling at all.
+
+    Returns (m (3, Np), r (Np,), mask (Np,)).
+    """
+    np_cap = ctx.sf_mask.shape[0]
+    chunk = _sampling_chunk_size(ctx)
+    xs, nc = _chunk_xs(ctx, chunk)
+
+    def one(xs_elem):
+        geom = _geom_of(ctx, xs_elem)
+        beta_kfm = _beta_fm_of(beta_t, xs_elem)
+        tp = _blend_warp_fm(geom, beta_kfm)
+        o, n, mask, go_u, go_v, gn_u, gn_v = _project_sample_fm(
+            cfg, ctx, tp, geom[0], intr, grad=True)
+        d = tp - o
+        y0 = jnp.sum(d * gn_u, 0) - jnp.sum(n * go_u, 0)
+        y1 = jnp.sum(d * gn_v, 0) - jnp.sum(n * go_v, 0)
+        z = tp[2] + 1e-8
+        m = jnp.stack([
+            n[0] + intr.fx / z * y0,
+            n[1] + intr.fy / z * y1,
+            n[2] - intr.fx * tp[0] / (z * z) * y0
+                - intr.fy * tp[1] / (z * z) * y1,
+        ])
+        r = weight * jnp.sum(n * d, 0)
+        return m, jnp.where(mask, r, 0.0), mask
+
+    if nc == 1:
+        m, r, mask = one(jax.tree.map(lambda a: a[0], xs))
+        return m, r, mask
+
+    nc_live = _live_chunk_count(ctx, nc, chunk)
+    if nc_live is not None:
+        init = (jnp.zeros((nc, 3, chunk), ctx.sf_points.dtype),
+                jnp.zeros((nc, chunk), ctx.sf_points.dtype),
+                jnp.zeros((nc, chunk), bool))
+
+        def fbody(i, carry):
+            ms, rs, ks = carry
+            m, r, k = one(_take_chunk(xs, i))
+            upd = jax.lax.dynamic_update_index_in_dim
+            return (upd(ms, m, i, 0), upd(rs, r, i, 0), upd(ks, k, i, 0))
+
+        ms, rs, ks = jax.lax.fori_loop(0, nc_live, fbody, init)
+    else:
+        _, (ms, rs, ks) = jax.lax.scan(
+            lambda c, e: (c, one(e)), None, xs)
+    return (jnp.moveaxis(ms, 0, 1).reshape(3, np_cap), rs.reshape(-1),
+            ks.reshape(-1))
+
+
+def premixed_chunk_partial_fm(geom, m_fm, r, mask, beta_kfm, weight: float,
+                              g_per: int):
+    """Assembly consumer of :func:`moving_mix_pass` chunks: identical
+    row/Gram math to moving_chunk_partial_fm with (m, r, mask) streamed in
+    instead of resampled.  Returns (partial (C/G, 28*29), sum(r^2))."""
+    _, w_fm, _, diff_fm = geom
+    cdim = mask.shape[-1]
+    h = jnp.where(mask[None],
+                  weight * _rows_fm_batched(m_fm, w_fm, diff_fm, beta_kfm),
+                  0.0)
+    nb = cdim // g_per
+    hb = h.reshape(28, nb, g_per)
+    ext = jnp.concatenate([hb, r.reshape(1, nb, g_per)], axis=0)
+    part = jnp.einsum("ing,jng->nij", hb, ext)
+    return part.reshape(nb, 28 * 29), jnp.sum(r * r)
+
+
 def frozen_chunk_jacobian(chunk: DataChunk, o_fm, n_fm, amask, beta_k,
                           weight: float):
     """Frozen-association residual + gradient rows.
@@ -779,8 +852,12 @@ def data_term_residual(cfg: SuPerConfig, ctx: LMContext, beta,
 def data_term_cost(cfg: SuPerConfig, ctx: LMContext, beta, intr: Intrinsics,
                    weight: float, assoc=None):
     """Scalar cost sum((lambda * r)^2) of the point-plane term, streamed in
-    chunks (loss.py:222-248,289-290 grad=False path)."""
-    chunk = _cost_chunk_size(cfg, ctx)
+    chunks (loss.py:222-248,289-290 grad=False path).
+
+    Without a frozen association the pass samples the corner bank, so it
+    runs sampling-sized chunks (fewest ~1 ms fixed-cost gathers)."""
+    chunk = (_cost_chunk_size(cfg, ctx) if assoc is not None
+             else _sampling_chunk_size(ctx))
     xs, nc = _chunk_xs(ctx, chunk)
     axs = None if assoc is None else _assoc_chunk_xs(assoc, chunk)
     beta_t = beta[ctx.layout.tuple_nodes] if ctx.layout is not None else None
@@ -831,6 +908,21 @@ def _cost_chunk_size(cfg, ctx):
     np_cap = ctx.sf_mask.shape[0]
     target = cfg.solver.assembly_chunk
     c = min(np_cap, target)
+    while np_cap % c != 0:
+        c //= 2
+    return max(c, 1)
+
+
+def _sampling_chunk_size(ctx):
+    """Chunk size for gather-bearing (sampling) passes: 4x the assembly
+    chunk.  The corner-bank gather pays ~1 ms per OP regardless of size,
+    so sampling passes want the fewest chunks that still let live_end
+    skip the sink tail; their intermediates are (3, C) slims, so big
+    chunks are cheap."""
+    np_cap = ctx.sf_mask.shape[0]
+    if ctx.layout is None or ctx.layout.live_end is None:
+        return np_cap
+    c = min(np_cap, 4 * 65536)
     while np_cap % c != 0:
         c //= 2
     return max(c, 1)
@@ -973,6 +1065,21 @@ def _data_normal_eq_tuple(cfg, ctx, beta, intr, weight, jtj, jtr,
     pairs = layout.pair_rank is not None
     beta_t = beta[layout.tuple_nodes]      # (T, K, 7): per-tuple params
 
+    pxs = None
+    if assoc is None and nc > 1 and sol.assembly_backend != "pallas":
+        # Moving-target mode: hoist the sampling into one big-chunk pass
+        # (see moving_mix_pass) and stream (m, r, mask) into the assembly
+        # chunks below like a frozen association.
+        m_all, r_all_mv, mask_all = moving_mix_pass(cfg, ctx, beta_t, intr,
+                                                    weight)
+
+        def msplit(a):
+            if a.ndim == 1:
+                return a.reshape(nc, chunk)
+            return jnp.moveaxis(a.reshape(a.shape[0], nc, chunk), 1, 0)
+
+        pxs = (msplit(m_all), msplit(r_all_mv), msplit(mask_all))
+
     def finish(gram, jtr_t, cost):
         if sol.linear_solver == "pairs_fused":
             acc, jtr7 = assembly.reduce_pairs(layout, gram, jtr_t, j_cap,
@@ -988,7 +1095,7 @@ def _data_normal_eq_tuple(cfg, ctx, beta, intr, weight, jtj, jtr,
         jj, jr = assembly.expand_to_blocks(layout, gram, jtr_t, jtj, jtr)
         return jj, jr, cost
 
-    def jac_chunk(xs_elem, assoc_elem):
+    def jac_chunk(xs_elem, assoc_elem, pre_elem=None):
         # Lane-aligned feature-major passes (the row-major (C, K, ...)
         # chunk views pad trailing dims to (8, 128) TPU tiles at every
         # materialization boundary -- ~40% of the pass).
@@ -998,6 +1105,10 @@ def _data_normal_eq_tuple(cfg, ctx, beta, intr, weight, jtj, jtr,
             o, n, am = assoc_elem
             return frozen_chunk_partial_fm(geom, o, n, am, beta_kfm,
                                            weight, g_per)
+        if pre_elem is not None:    # pre-sampled moving mix
+            m_fm, r_mv, mask_mv = pre_elem
+            return premixed_chunk_partial_fm(geom, m_fm, r_mv, mask_mv,
+                                             beta_kfm, weight, g_per)
         return moving_chunk_partial_fm(cfg, ctx, geom, beta_kfm, intr,
                                        weight, g_per)
 
@@ -1037,7 +1148,8 @@ def _data_normal_eq_tuple(cfg, ctx, beta, intr, weight, jtj, jtr,
 
             def fbody(i, carry):
                 c, parts = carry
-                part, dc = jac_chunk(_take_chunk(xs, i), _take_chunk(axs, i))
+                part, dc = jac_chunk(_take_chunk(xs, i), _take_chunk(axs, i),
+                                     _take_chunk(pxs, i))
                 parts = jax.lax.dynamic_update_index_in_dim(
                     parts, part, i, 0)
                 return c + dc, parts
@@ -1049,7 +1161,7 @@ def _data_normal_eq_tuple(cfg, ctx, beta, intr, weight, jtj, jtr,
                 part, dc = jac_chunk(*e)
                 return c + dc, part
 
-            cost, parts = jax.lax.scan(scan_body, zero, (xs, axs))
+            cost, parts = jax.lax.scan(scan_body, zero, (xs, axs, pxs))
         partial = parts.reshape(-1, 28 * 29)
 
     if sol.assembly_combine == "matmul":

@@ -354,3 +354,40 @@ def test_frozen_jacobian_direct_form(scene, tracker0):
     sel = np.asarray(cv.mask)
     np.testing.assert_allclose(np.asarray(g)[sel], np.asarray(g_ref)[sel],
                                rtol=2e-4, atol=1e-5)
+
+
+def test_moving_assembly_chunked_matches_unchunked():
+    """The two-pass moving assembly (moving_mix_pass + premixed chunks,
+    used when the surfel set spans multiple assembly chunks) must match
+    the single-chunk fused pass on the same context."""
+    import dataclasses
+
+    import jax
+
+    from helpers import tiny_scene
+    from super_tpu.core.losses import prepare_lm
+    from super_tpu.core.tracker import init_tracker
+    from super_tpu.geometry.quaternion import IDENTITY_DQ
+
+    cfg, intr, seq, frames = tiny_scene(num_frames=3)
+    cfg_small = cfg.replace(solver=dataclasses.replace(
+        cfg.solver, assembly_chunk=512, association="per_iteration"))
+    state = init_tracker(cfg_small, frames[0])
+    ctx = prepare_lm(cfg_small, state.surfels, state.graph, frames[2])
+    j_cap = cfg.capacity.node_capacity
+    rng = np.random.default_rng(3)
+    beta = jnp.asarray(
+        np.tile(np.asarray(IDENTITY_DQ)[None], (j_cap, 1))
+        + 0.01 * rng.standard_normal((j_cap, 7)), jnp.float32)
+
+    out_chunked = jax.jit(lambda b: assemble_normal_equations(
+        cfg_small, ctx, b, intr, with_cost=True))(beta)
+    cfg_one = cfg.replace(solver=dataclasses.replace(
+        cfg.solver, assembly_chunk=1 << 20, association="per_iteration"))
+    out_one = jax.jit(lambda b: assemble_normal_equations(
+        cfg_one, ctx, b, intr, with_cost=True))(beta)
+    for a, b, name in zip(out_chunked, out_one, ("jtj", "jtr", "cost")):
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        scale = np.abs(b).max() + 1e-12
+        np.testing.assert_allclose(a / scale, b / scale, atol=5e-6,
+                                   err_msg=name)
