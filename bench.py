@@ -97,16 +97,17 @@ def build_workload(args, mesh_step: int, association: str,
         # tuples, and the 7J Cholesky loses to block-Jacobi PCG.
         solver_kw.update(assembly_tuple_cap=8 * node_cap,
                          linear_solver="pcg", jtj_dtype="bf16")
-    elif association == "per_frame":
+    else:
         # Distinct anchor tuples plateau ~2.6k at 480p/J=336 (fusion adds
         # mint new tuples until the map saturates), so the default 4096
         # cap is right -- 2048 silently drops ~19% of residuals into the
         # sink (measured; the JSON line reports the overflow counters).
-        # Frozen association tolerates the inexact-Newton solve: the
-        # pair-sparse fused-CG kernel (warm-started, 32 iterations)
-        # matches Cholesky accuracy at ~1/3 the per-iteration cost.
-        # per_iteration keeps the exact Cholesky (reference-fidelity
-        # trajectories are solve-tolerance-sensitive there).
+        # Both association modes use the pair-sparse fused-CG kernel
+        # (warm-started, 32 iterations): the Cholesky path's per-trip
+        # dense (7J)^2 expansion + graph-term block scatters cost more
+        # than the whole solve, and CG at 32 iterations tracks Cholesky
+        # accuracy in BOTH modes (synthetic reproj 0.127 px pairs_fused
+        # vs 0.161 px Cholesky in per_iteration mode at 96x128).
         solver_kw.update(linear_solver="pairs_fused", pcg_iterations=32,
                          gram_sum_dtype="bf16")
     cfg = cfg.replace(solver=dataclasses.replace(cfg.solver, **solver_kw))
