@@ -235,6 +235,31 @@ def main():
             cfg.capacity.node_capacity)),
         acc_spb, jtr_spb, probe=lambda x: jnp.sum(x[:64]))
 
+    # Moving-target assembly variants (meaningful with
+    # --association per_iteration): premixed two-pass vs fused one-pass
+    # at two chunk sizes, all on the pairs_fused finish.
+    for tag, kw in (
+        ("asm_mv_premix", dict()),
+        ("asm_mv_1p64", dict(moving_premix=False)),
+        ("asm_mv_1p128", dict(moving_premix=False, assembly_chunk=131072)),
+        ("asm_mv_premix128", dict(assembly_chunk=131072)),
+    ):
+        c_mv = sched_cfg(linear_solver="pairs_fused", pcg_iterations=32,
+                         gram_sum_dtype="bf16", association="per_iteration",
+                         **kw)
+        reg(tag,
+            jax.jit(lambda c, b, _c=c_mv: _asm(_c, c, b, intr,
+                                               with_cost=True)),
+            ctx_spb, beta_t0 * 1.0, probe=lambda o: o[2])
+    c_pit = sched_cfg(linear_solver="pairs_fused", pcg_iterations=32,
+                      gram_sum_dtype="bf16", association="per_iteration")
+    reg("lm_pairs_pit",
+        jax.jit(lambda c, _c=c_pit: lm_solve(_c, c, intr)),
+        ctx_spb, probe=lambda r: r.cost)
+    reg("step_pairs_pit",
+        jax.jit(lambda s, _c=c_pit: track_step(_c, intr, s, frames[1])),
+        state0, probe=lambda o: o[1].lm_cost)
+
     wanted = args.stages.split(",")
     out = {}
     for name in wanted:

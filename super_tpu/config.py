@@ -78,6 +78,11 @@ class SolverConfig:
     # Surfel-chunk size for streaming the JTJ assembly (bounds peak memory
     # of the chain-rule temporaries; no effect on results).
     assembly_chunk: int = 65536
+    # Moving-target (per_iteration) assembly: hoist the corner-bank
+    # sampling into one big-chunk pass (losses.moving_mix_pass) instead of
+    # sampling inside every assembly chunk.  No effect on results; False
+    # keeps the fused one-pass form at assembly_chunk granularity.
+    moving_premix: bool = True
     # JTJ assembly strategy: "tuple" groups surfels by anchor tuple and
     # reduces on the MXU (fast on TPU); "scatter" is the direct scatter-add
     # reference path (used by tests and the sharded dry run).

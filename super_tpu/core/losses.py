@@ -1066,7 +1066,8 @@ def _data_normal_eq_tuple(cfg, ctx, beta, intr, weight, jtj, jtr,
     beta_t = beta[layout.tuple_nodes]      # (T, K, 7): per-tuple params
 
     pxs = None
-    if assoc is None and nc > 1 and sol.assembly_backend != "pallas":
+    if assoc is None and nc > 1 and sol.moving_premix \
+            and sol.assembly_backend != "pallas":
         # Moving-target mode: hoist the sampling into one big-chunk pass
         # (see moving_mix_pass) and stream (m, r, mask) into the assembly
         # chunks below like a frozen association.
