@@ -80,9 +80,13 @@ class SolverConfig:
     assembly_chunk: int = 65536
     # Moving-target (per_iteration) assembly: hoist the corner-bank
     # sampling into one big-chunk pass (losses.moving_mix_pass) instead of
-    # sampling inside every assembly chunk.  No effect on results; False
-    # keeps the fused one-pass form at assembly_chunk granularity.
-    moving_premix: bool = True
+    # sampling inside every assembly chunk.  No effect on results.
+    # Measured on TPU (scripts/breakdown.py asm_mv_* stages, 480p): the
+    # fused one-pass form at 64k chunks is fastest (8.7 ms vs 10.1
+    # premixed vs 10.1/11.3 at 128k) -- the split's (m, r, mask) HBM
+    # round-trip costs more than the per-chunk gathers it avoids once the
+    # z-bank shrank those to 16 rows.
+    moving_premix: bool = False
     # JTJ assembly strategy: "tuple" groups surfels by anchor tuple and
     # reduces on the MXU (fast on TPU); "scatter" is the direct scatter-add
     # reference path (used by tests and the sharded dry run).
