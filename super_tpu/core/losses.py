@@ -152,9 +152,15 @@ def prepare_lm(cfg: SuPerConfig, surfels: SurfelState, graph: GraphState,
                 ], axis=-1),
                 arap_swap=self_b < nb)
         src = layout.src_of
-        sf_mask = layout.slot_valid & surfels.active[src]
-        sf_knn_w = gather_rows(surfels.knn_w, src)
-        sf_points = gather_rows(surfels.points, src)
+        # ONE packed gather for [active, knn_w(K), points(3)] -- gathers
+        # pay ~1 ms fixed per op at this index count (CLAUDE.md model).
+        packed = gather_rows(jnp.concatenate([
+            surfels.active[None].astype(surfels.points.dtype),
+            surfels.knn_w, surfels.points]), src)
+        k_anchors = surfels.knn_w.shape[0]
+        sf_mask = layout.slot_valid & (packed[0] > 0.5)
+        sf_knn_w = packed[1:1 + k_anchors]
+        sf_points = packed[1 + k_anchors:4 + k_anchors]
 
     gp_t = graph.points.T              # (3, J)
     k = sf_knn_idx.shape[0]

@@ -120,9 +120,18 @@ def test_sharded_lm_solve_matches_single_mid_deformation(scene):
 
     np.testing.assert_allclose(float(res_sh.cost), float(res_ref.cost),
                                rtol=1e-3)
-    # Same damping endpoint == same accept/reject sequence.
-    np.testing.assert_allclose(float(res_sh.final_damping),
-                               float(res_ref.final_damping), rtol=1e-6)
+    # The psum'd f32 reduction reassociates vs the replicated one, so a
+    # MARGINAL accept/reject can legitimately flip (assembly exactness is
+    # covered separately by test_sharded_normal_equations_exact); the
+    # damping endpoint may then differ by a few v^k steps.  What must
+    # hold: the sharded solve's beta is as good a minimizer of the SAME
+    # objective as the replicated one.
+    from super_tpu.core.losses import total_cost
+
+    cost_of_sh_beta = float(jax.jit(
+        lambda b: total_cost(cfg, ctx, b, intr))(res_sh.beta))
+    assert cost_of_sh_beta <= float(res_ref.cost) * (1 + 1e-3), \
+        (cost_of_sh_beta, float(res_ref.cost))
     scale = float(jnp.max(jnp.abs(res_ref.beta)))
     np.testing.assert_allclose(np.asarray(res_sh.beta) / scale,
                                np.asarray(res_ref.beta) / scale, atol=5e-3)
