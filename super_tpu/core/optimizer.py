@@ -46,6 +46,9 @@ class AutogradContext(NamedTuple):
     trg_seg_conf: jnp.ndarray  # (C, P)
     num_active_nodes: jnp.ndarray  # ()
     extras: Optional["SemanticExtras"]
+    trg_bank_zx: Optional[jnp.ndarray] = None  # ((4+C)*4, P) z-bank with
+    #   per-corner seg-conf rows (ops/bilinear.py:build_corner_bank_zx):
+    #   the data term's point/normal/conf sample is then ONE gather
 
 
 def prepare_autograd(cfg: SuPerConfig, surfels: SurfelState,
@@ -75,6 +78,15 @@ def prepare_autograd(cfg: SuPerConfig, surfels: SurfelState,
             cfg, frame.seg.reshape(h, w),
             frame.seg_conf.reshape(-1, h, w),
             frame.color_image, flow=flow, src_uv=src_uv)
+    losses = cfg.losses
+    bank_zx = None
+    if losses.sf_hard_seg_point_plane or losses.sf_soft_seg_point_plane:
+        from super_tpu.ops.bilinear import build_corner_bank_zx
+
+        h, w = cfg.height, cfg.width
+        bank_zx = build_corner_bank_zx(
+            frame.points, frame.norms, frame.seg_conf,
+            frame.index_map(h, w))
     return AutogradContext(
         base=base,
         sf_seg=surfels.seg,
@@ -83,6 +95,7 @@ def prepare_autograd(cfg: SuPerConfig, surfels: SurfelState,
         trg_seg_conf=frame.seg_conf,
         num_active_nodes=jnp.maximum(graph.num_active, 1),
         extras=extras,
+        trg_bank_zx=bank_zx,
     )
 
 
@@ -125,8 +138,22 @@ def point_plane_autograd(cfg: SuPerConfig, ctx: AutogradContext, deform,
     v, u, _, valid = project_points(warped, intr, h, w, valid_margin=1)
     mask = base.sf_mask & valid
 
-    o, n, svalid, _, _ = bilinear_sample_two(
-        base.trg_points, base.trg_norms, base.trg_index_map, v, u)
+    tconf_fm = None
+    if seg_icp and ctx.trg_bank_zx is not None:
+        # ONE (4+C)*4-row z-bank gather for points + normals + seg confs
+        # (value-equal to the index-map samplers at valid queries; the
+        # 12-gather-indices-per-surfel path cost ~3x the whole sample).
+        from super_tpu.ops.bilinear import bilinear_sample_bank_zx_fm
+
+        c = ctx.trg_seg_conf.shape[0]
+        o_fm, n_fm, tconf_fm, svalid = bilinear_sample_bank_zx_fm(
+            ctx.trg_bank_zx, c, intr, h, w, v, u)
+        o, n = o_fm.T, n_fm.T
+    else:
+        from super_tpu.ops.bilinear import bilinear_sample_bank_z
+
+        o, n, svalid, _, _ = bilinear_sample_bank_z(
+            base.trg_corner_bank, intr, h, w, v, u)
     mask = mask & svalid
     r = jnp.sum(n * (warped.T - o), axis=-1)
     sq = jnp.where(mask, r * r, 0.0)
@@ -143,8 +170,11 @@ def point_plane_autograd(cfg: SuPerConfig, ctx: AutogradContext, deform,
 
     weights = None
     if seg_icp:
-        tconf, cvalid, _ = bilinear_sample_indexed(
-            ctx.trg_seg_conf, base.trg_index_map, v, u)   # (Np, C)
+        if tconf_fm is not None:
+            tconf, cvalid = tconf_fm.T, svalid
+        else:
+            tconf, cvalid, _ = bilinear_sample_indexed(
+                ctx.trg_seg_conf, base.trg_index_map, v, u)   # (Np, C)
         tconf = jax.nn.softmax(tconf, axis=-1)
         if losses.sf_soft_seg_point_plane:
             div = jsd(ctx.sf_seg_conf.T, tconf)

@@ -387,6 +387,72 @@ def bilinear_sample_bank_z(bank, intr, h: int, w: int, v, u, *,
     return va, vb, ok, grad_a, grad_b
 
 
+def build_corner_bank_zx(points_fm, norms_fm, extra_fm, index_map):
+    """Extended z-bank: per pixel, [z, nx, ny, nz, extra(E)] of its 4
+    bilinear corners -- ((4+E)*4, H*W).
+
+    Same design as :func:`build_corner_bank_z` with E extra feature rows
+    (e.g. per-class seg confidences) riding the SAME gather; extras are
+    zeroed where invalid, exactly like `bilinear_sample_indexed`'s
+    corner masking on an index-map sample.
+    """
+    h, w = index_map.shape
+    e = extra_fm.shape[0]
+    valid = (index_map >= 0)
+    zrow = jnp.where(valid, points_fm.reshape(3, h, w)[2], 0.0)[None]
+    nms = jnp.where(valid[None], norms_fm.reshape(3, h, w), 0.0)
+    ext = jnp.where(valid[None], extra_fm.reshape(e, h, w), 0.0)
+    base = jnp.concatenate([zrow, nms, ext], axis=0)      # (4+E, h, w)
+    f = 4 + e
+    zc = jnp.zeros((f, h, 1), base.dtype)
+    zr = jnp.zeros((f, 1, w), base.dtype)
+    right = jnp.concatenate([base[:, :, 1:], zc], axis=2)
+    down = jnp.concatenate([base[:, 1:, :], zr], axis=1)
+    downright = jnp.concatenate([down[:, :, 1:], zc], axis=2)
+    return jnp.concatenate([base, right, down, downright],
+                           axis=0).reshape(4 * f, h * w)
+
+
+def bilinear_sample_bank_zx_fm(bank, n_extra: int, intr, h: int, w: int,
+                               v, u):
+    """Sample a :func:`build_corner_bank_zx` bank (values only).
+
+    Returns (o (3, N), n (3, N), extra (E, N), ok (N,)); o/n/ok are
+    identical to :func:`bilinear_sample_bank_z_fm` and extra matches
+    `bilinear_sample_indexed` on the same features at valid queries.
+    """
+    f = 4 + n_extra
+    fl_v = jnp.floor(v)
+    fl_u = jnp.floor(u)
+    vi = fl_v.astype(jnp.int32)
+    ui = fl_u.astype(jnp.int32)
+    flat = jnp.clip(vi, 0, h - 1) * w + jnp.clip(ui, 0, w - 1)
+    g = jnp.take(bank, flat, axis=-1)                   # (4F, N)
+    g = jax.lax.optimization_barrier(g)
+
+    dn = (fl_v - v, fl_v + 1.0 - v)
+    dm = (fl_u - u, fl_u + 1.0 - u)
+    wn = tuple(jnp.maximum(1.0 - jnp.abs(x), 0.0) for x in dn)
+    wm = tuple(jnp.maximum(1.0 - jnp.abs(x), 0.0) for x in dm)
+
+    va = 0.0
+    vb = 0.0
+    ve = 0.0
+    ok = (vi >= 0) & (vi + 1 < h) & (ui >= 0) & (ui + 1 < w)
+    for j, (jn, jm) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
+        blk = g[f * j:f * j + f]
+        z = blk[0]
+        n = blk[1:4]
+        ok = ok & (jnp.sum(n * n, axis=0) > 0.5)
+        x = (fl_u + jm - intr.cx) * z / intr.fx
+        y = (fl_v + jn - intr.cy) * z / intr.fy
+        wc = (wn[jn] * wm[jm])[None]
+        va = va + wc * jnp.stack([x, y, z])
+        vb = vb + wc * n
+        ve = ve + wc * blk[4:]
+    return va, vb, ve, ok
+
+
 def bilinear_sample_image(image_fm, v, u):
     """Plain bilinear sampling of a dense (F, H, W) image at float (v, u).
 

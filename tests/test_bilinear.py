@@ -134,3 +134,47 @@ def test_zbank_matches_full_bank_on_backprojected_frame(rng):
     for a, b in zip(out[:2] + out[3:], ref[:2] + ref[3:]):
         np.testing.assert_array_equal(np.asarray(a)[:, ok_ref],
                                       np.asarray(b)[:, ok_ref])
+
+
+def test_zxbank_matches_indexed_samplers(rng):
+    """The extended z-bank (points+normals+extras in one gather) must
+    match bilinear_sample_two + bilinear_sample_indexed at valid queries."""
+    from super_tpu.geometry.camera import Intrinsics, backproject_depth
+    from super_tpu.ops.bilinear import (
+        bilinear_sample_bank_zx_fm,
+        bilinear_sample_indexed,
+        build_corner_bank_zx,
+    )
+
+    h, w, c = 19, 29, 3
+    p = h * w
+    intr = Intrinsics(fx=jnp.float32(57.0), fy=jnp.float32(61.0),
+                      cx=jnp.float32(w / 2 - 0.37),
+                      cy=jnp.float32(h / 2 + 0.21))
+    depth = jnp.asarray(0.4 + 0.3 * rng.random((h, w)), jnp.float32)
+    points = backproject_depth(depth, intr).reshape(3, p)
+    nr = rng.normal(size=(3, p))
+    norms = jnp.asarray(nr / np.linalg.norm(nr, axis=0), jnp.float32)
+    extra = jnp.asarray(rng.random((c, p)), jnp.float32)
+    valid = rng.uniform(size=(h, w)) > 0.25
+    index_map = jnp.where(jnp.asarray(valid),
+                          jnp.arange(p, dtype=jnp.int32).reshape(h, w), -1)
+
+    n = 600
+    v = jnp.asarray(rng.uniform(-2.0, h + 1.0, size=n), jnp.float32)
+    u = jnp.asarray(rng.uniform(-2.0, w + 1.0, size=n), jnp.float32)
+
+    bank = build_corner_bank_zx(points, norms, extra, index_map)
+    o, nn, ex, ok = bilinear_sample_bank_zx_fm(bank, c, intr, h, w, v, u)
+
+    o_ref, n_ref, ok2, _, _ = bilinear_sample_two(points, norms, index_map,
+                                                  v, u)
+    ex_ref, ok3, _ = bilinear_sample_indexed(extra, index_map, v, u)
+    okr = np.asarray(ok2 & ok3)
+    np.testing.assert_array_equal(np.asarray(ok), okr)
+    np.testing.assert_allclose(np.asarray(o.T)[okr], np.asarray(o_ref)[okr],
+                               rtol=2e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(nn.T)[okr],
+                               np.asarray(n_ref)[okr], rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(ex.T)[okr],
+                               np.asarray(ex_ref)[okr], rtol=1e-6)
