@@ -95,7 +95,11 @@ def build_workload(args, mesh_step: int, association: str,
     if node_cap > 512:
         # Dense ED graph (mesh_step 16-ish): more distinct anchor
         # tuples, and the 7J Cholesky loses to block-Jacobi PCG.
+        # pair_cap must scale too: a mesh-16 grid has ~8.8k distinct node
+        # pairs (the 4096 default silently dropped 4.7k of them -- most
+        # off-diagonal JTJ blocks into the sink).
         solver_kw.update(assembly_tuple_cap=8 * node_cap,
+                         assembly_pair_cap=16 * node_cap,
                          linear_solver="pcg", jtj_dtype="bf16")
     else:
         # Distinct anchor tuples plateau ~2.6k at 480p/J=336 (fusion adds
@@ -395,9 +399,13 @@ def main():
                 args.reps)[0] / args.streams, 3)
             if not args.no_dense and args.mesh_step_size > 16:
                 try:
-                    extra["dense_mesh16_hz"] = round(measure_step(
-                        args, 16, "per_frame",
-                        max(6, args.reps // 5))[0] / args.streams, 3)
+                    dense_hz, dense_of = measure_step(
+                        args, 16, "per_frame", max(6, args.reps // 5))
+                    extra["dense_mesh16_hz"] = round(
+                        dense_hz / args.streams, 3)
+                    if any(dense_of.get(k) for k in ("tuple", "pair",
+                                                     "free")):
+                        extra["dense_overflow"] = dense_of
                 except Exception as e:  # noqa: BLE001 -- report, keep line
                     extra["dense_mesh16_error"] = type(e).__name__
             try:
