@@ -76,7 +76,8 @@ def main():
     if node_cap > 512:
         solver_kw.update(assembly_tuple_cap=8 * node_cap,
                          assembly_pair_cap=16 * node_cap,
-                         linear_solver="pcg", jtj_dtype="bf16")
+                         linear_solver="pcg", jtj_dtype="bf16",
+                         gram_sum_dtype="bf16")
     cfg = cfg.replace(solver=dataclasses.replace(cfg.solver, **solver_kw))
     intr = default_intrinsics(h, w)
 

@@ -50,6 +50,14 @@ class TupleLayout(NamedTuple):
     pair_key: Optional[jnp.ndarray] = None    # (P,) sorted distinct pair
     #   keys (p1 * node_cap + p2, p1 <= p2); sentinel where unused.  Enables
     #   pair_rank_lookup for graph-term rows (pairs_fused solve path).
+    pair_rank10: Optional[jnp.ndarray] = None  # (10T,) pair rank per TRIU
+    #   anchor pair (a <= b) in (T, 10) order -- the compact source layout
+    #   of reduce/expand (the 16T one-hot wasted 37.5% of its bytes on
+    #   zero-scaled rows; at dense pair counts the one-hot IS the cost)
+    pair_swap10: Optional[jnp.ndarray] = None  # (10T,) True where the triu
+    #   block must be stored transposed (node pair came out reversed)
+    pair_scale10: Optional[jnp.ndarray] = None  # (10T,) 0.5 on diagonal
+    #   node pairs, 0 on overflow, else 1
     diag_rank: Optional[jnp.ndarray] = None   # (J,) rank of pair (j, j)
     arap_rank: Optional[jnp.ndarray] = None   # (J, K_ed, 3) ranks of the ED
     #   edge's (nb, nb), (self, self), (min, max) pairs
@@ -160,7 +168,7 @@ def build_tuple_layout(knn_idx, active, node_cap: int, *, tuple_cap: int,
     tuple_nodes = jnp.where(sizes[:, None] > 0,
                             knn_idx[:, member].T.astype(jnp.int32), 0)
 
-    pair_fields = (None,) * 5
+    pair_fields = (None,) * 8
     if pair_cap > 0:
         pair_fields = build_pair_layout(tuple_nodes, node_cap,
                                         pair_cap=pair_cap,
@@ -171,6 +179,9 @@ def build_tuple_layout(knn_idx, active, node_cap: int, *, tuple_cap: int,
                        pair_rank=pair_fields[0], pair_scale=pair_fields[1],
                        pair_dest=pair_fields[2], pair_overflow=pair_fields[3],
                        pair_key=pair_fields[4],
+                       pair_rank10=pair_fields[5],
+                       pair_swap10=pair_fields[6],
+                       pair_scale10=pair_fields[7],
                        live_end=jnp.minimum(pend[tuple_cap - 2], np_cap))
 
 
@@ -243,7 +254,18 @@ def build_pair_layout(tuple_nodes, node_cap: int, *, pair_cap: int,
         src = jnp.concatenate([
             src, jnp.full(ekey.shape, n_src, jnp.int32)])
 
-    key_s, src_s = jax.lax.sort((key, src), num_keys=1, is_stable=False)
+    # 10T-order companion: rank/scale/swap per TRIU source row (the compact
+    # source layout of reduce/expand -- the 16T form wastes 37.5% of the
+    # one-hot bytes on zero-scaled rows).
+    n_src10 = t_cap * len(a_idx)
+    src10 = jnp.arange(n_src10, dtype=jnp.int32)
+    swap10 = (n1 > n2).reshape(-1)
+    if extra_pairs is not None:
+        src10 = jnp.concatenate([
+            src10, jnp.full((key.shape[0] - n_src10,), n_src10, jnp.int32)])
+
+    key_s, src_s, src10_s = jax.lax.sort((key, src, src10), num_keys=1,
+                                         is_stable=False)
     new_pair = jnp.concatenate([
         jnp.ones((1,), bool), key_s[1:] != key_s[:-1]])
     rank_raw = jnp.cumsum(new_pair) - 1
@@ -270,7 +292,12 @@ def build_pair_layout(tuple_nodes, node_cap: int, *, pair_cap: int,
                            jnp.int32).at[src_s].set(rank, mode="drop")
     scale_of_src = jnp.zeros((n_src,),
                              jnp.float32).at[src_s].set(scale_s, mode="drop")
-    return rank_of_src, scale_of_src, dest, pair_overflow, pair_key
+    rank10 = jnp.full((n_src10,), pair_cap - 1,
+                      jnp.int32).at[src10_s].set(rank, mode="drop")
+    scale10 = jnp.zeros((n_src10,),
+                        jnp.float32).at[src10_s].set(scale_s, mode="drop")
+    return (rank_of_src, scale_of_src, dest, pair_overflow, pair_key,
+            rank10, swap10, scale10)
 
 
 def pair_rank_lookup(pair_key, node_cap: int, pairs):
@@ -337,6 +364,27 @@ def _scatter_blocks_set(dense, starts, blocks):
         unique_indices=True)
 
 
+def _triu_pair_rows(layout: TupleLayout, gram):
+    """Compact (10T, 49) pair source rows from the per-tuple Grams.
+
+    Each tuple contributes its K(K+1)/2 = 10 TRIU anchor-pair blocks;
+    blocks whose node pair came out reversed are stored transposed (the
+    Gram is bitwise symmetric, so this equals the 16T layout's rev-block
+    source), scales pre-applied.  37.5% fewer one-hot bytes than the 16T
+    form -- at dense pair counts the (P, S) one-hot IS the reduction cost.
+    """
+    t_cap, d, _ = gram.shape
+    k = layout.tuple_nodes.shape[1]
+    a_idx, b_idx = jnp.triu_indices(k)
+    g5 = gram.reshape(t_cap, k, 7, k, 7)
+    blocks = jnp.moveaxis(g5[:, a_idx, :, b_idx, :], 0, 1)  # (T, 10, 7, 7)
+    swap = layout.pair_swap10.reshape(t_cap, len(a_idx))
+    blocks = jnp.where(swap[..., None, None],
+                       jnp.swapaxes(blocks, -1, -2), blocks)
+    n10 = t_cap * len(a_idx)
+    return blocks.reshape(n10, 49) * layout.pair_scale10[:, None]
+
+
 def reduce_pairs(layout: TupleLayout, gram, jtr_t, node_cap: int,
                  sum_dtype=None):
     """Per-tuple Grams -> SPARSE pair form: (P, 49) distinct-node-pair
@@ -346,11 +394,9 @@ def reduce_pairs(layout: TupleLayout, gram, jtr_t, node_cap: int,
     anywhere (core/lm.py:_pairs_fused_solve)."""
     t_cap, d, _ = gram.shape
     k = layout.tuple_nodes.shape[1]
-    blocks = jax.lax.reshape(gram.reshape(t_cap, k, 7, k, 7),
-                             (t_cap * k * k, 49), dimensions=(0, 1, 3, 2, 4))
-    rows = blocks * layout.pair_scale[:, None]
+    rows = _triu_pair_rows(layout, gram)
     pair_cap = layout.pair_dest.shape[0]
-    acc = segment_sum_matmul(rows, layout.pair_rank, pair_cap,
+    acc = segment_sum_matmul(rows, layout.pair_rank10, pair_cap,
                              sum_dtype=sum_dtype)
     flat_nodes = layout.tuple_nodes.reshape(-1)
     jtr = segment_sum_matmul(-jtr_t.reshape(t_cap * k, 7), flat_nodes,
@@ -359,7 +405,7 @@ def reduce_pairs(layout: TupleLayout, gram, jtr_t, node_cap: int,
 
 
 def expand_pairs(layout: TupleLayout, gram, jtr_t, node_cap: int,
-                 acc_dtype=jnp.float32):
+                 acc_dtype=jnp.float32, sum_dtype=None):
     """Per-tuple Grams -> dense (7J, 7J) JTJ + (J, 7) JTr via the pair
     layout: gather the symmetric half of the 7x7 blocks in pair-sorted
     order, one-hot-matmul the duplicates together, windowed-set-scatter the
@@ -369,11 +415,10 @@ def expand_pairs(layout: TupleLayout, gram, jtr_t, node_cap: int,
     t_cap, d, _ = gram.shape
     k = layout.tuple_nodes.shape[1]
     dim = 7 * node_cap
-    blocks = jax.lax.reshape(gram.reshape(t_cap, k, 7, k, 7),
-                             (t_cap * k * k, 49), dimensions=(0, 1, 3, 2, 4))
-    rows = blocks * layout.pair_scale[:, None]
+    rows = _triu_pair_rows(layout, gram)
     pair_cap = layout.pair_dest.shape[0]
-    acc = segment_sum_matmul(rows, layout.pair_rank, pair_cap)
+    acc = segment_sum_matmul(rows, layout.pair_rank10, pair_cap,
+                             sum_dtype=sum_dtype)
     s = jnp.zeros((dim, dim), acc_dtype)
     s = _scatter_blocks_set(s, layout.pair_dest, acc.reshape(pair_cap, 7, 7))
     jtj = s + s.T

@@ -49,7 +49,7 @@ from super_tpu.geometry.quaternion import IDENTITY_DQ
 
 
 def _block_jacobi_pcg(a, b, j_cap: int, iterations: int, inv_d=None,
-                      scaled_eps: float = 0.0):
+                      scaled_eps: float = 0.0, x0=None):
     """Preconditioned conjugate gradients on the (Jacobi-scaled) normal
     system.
 
@@ -96,8 +96,13 @@ def _block_jacobi_pcg(a, b, j_cap: int, iterations: int, inv_d=None,
         return jnp.einsum("jab,jb->ja", diag_inv,
                           r.reshape(j_cap, 7)).reshape(dim)
 
-    x0 = jnp.zeros_like(b)
-    r0 = b
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+        r0 = b
+    else:
+        # Warm start (consecutive damped LM systems differ mildly; the
+        # deferred loop zeroes x0 after a reject): one extra matvec.
+        r0 = b - matvec(x0)
     z0 = precond(r0)
     p0 = z0
     rz0 = r0 @ z0
@@ -276,9 +281,11 @@ def lm_solve(cfg: SuPerConfig, ctx: LMContext, intr: Intrinsics,
             eps_s = 0.0
             if a.dtype == jnp.bfloat16:
                 eps_s = float(2.0 ** -8) * float(dim) ** 0.5
+            # Warm start in the SCALED space: x_s = d * x.
+            x0_s = None if x0 is None else x0 * d
             x = _block_jacobi_pcg(a, b_s, j_cap,
                                   cfg.solver.pcg_iterations, inv_d=inv_d,
-                                  scaled_eps=eps_s)
+                                  scaled_eps=eps_s, x0=x0_s)
         else:
             a_s = a * inv_d[:, None] * inv_d[None, :]
             chol = jnp.linalg.cholesky(a_s)

@@ -1097,7 +1097,9 @@ def _data_normal_eq_tuple(cfg, ctx, beta, intr, weight, jtj, jtr,
         if pairs:
             dense, jtr7 = assembly.expand_pairs(
                 layout, gram, jtr_t, j_cap,
-                acc_dtype=acc_dtype or beta.dtype)
+                acc_dtype=acc_dtype or beta.dtype,
+                sum_dtype=sol.gram_sum_dtype
+                if sol.gram_sum_dtype != "f32" else None)
             return dense, jtr7, cost
         jj, jr = assembly.expand_to_blocks(layout, gram, jtr_t, jtj, jtr)
         return jj, jr, cost
