@@ -76,3 +76,32 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def bench_pcg_block():
+    """Time the actual dense-PCG solve at mesh-16 shapes (run separately:
+    python -c "import sys; sys.argv=['x']; \
+    exec(open('scripts/microbench_densemv.py').read()); bench_pcg_block()")
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from super_tpu.core.lm import _block_jacobi_pcg
+    from super_tpu.utils.profiling import chain_time
+
+    j_cap = 1216
+    dim = 7 * j_cap
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.standard_normal((dim, dim)) / dim, jnp.bfloat16)
+    a = (a + a.T).astype(jnp.bfloat16)
+    b = jnp.asarray(rng.standard_normal(dim), jnp.float32)
+    inv_d = jnp.asarray(1.0 / (1.0 + rng.random(dim)), jnp.float32)
+    eps = float(2.0 ** -8) * dim ** 0.5
+
+    for it in (8, 32):
+        fn = jax.jit(lambda a_, b_, s_, _it=it: _block_jacobi_pcg(
+            a_, b_, j_cap, _it, inv_d=s_, scaled_eps=eps))
+        dt = chain_time(fn, a, b, inv_d, probe=lambda x: jnp.sum(x[:64]),
+                        reps=8)
+        print(f"block_jacobi_pcg it={it}: {dt*1e3:.2f} ms", flush=True)

@@ -73,14 +73,26 @@ def _block_jacobi_pcg(a, b, j_cap: int, iterations: int, inv_d=None,
     """
     dim = 7 * j_cap
 
+    def mv(p):
+        if a.dtype == jnp.bfloat16:
+            # Keep the dot ALL-bf16 (f32 accumulation): a mixed
+            # bf16 @ f32 dot re-upcasts the matrix every iteration
+            # (measured 1.29 ms/iter at dim=8512 vs 0.28 all-bf16).
+            # The Krylov vector's bf16 truncation is absorbed like the
+            # matrix's own storage noise (scaled_eps damping + the LM
+            # accept/reject loop around the inexact-Newton solve).
+            return jax.lax.dot(a, p.astype(jnp.bfloat16),
+                               preferred_element_type=jnp.float32)
+        return a @ p
+
     if inv_d is None:
         def matvec(p):
-            return a @ p + scaled_eps * p
+            return mv(p) + scaled_eps * p
         a_diag_src = a
         d_scale = None
     else:
         def matvec(p):
-            return inv_d * (a @ (inv_d * p)) + scaled_eps * p
+            return inv_d * mv(inv_d * p) + scaled_eps * p
         a_diag_src = a
         d_scale = inv_d.reshape(j_cap, 7)
 
