@@ -72,6 +72,12 @@ def _block_jacobi_pcg(a, b, j_cap: int, iterations: int, inv_d=None,
     accept/reject loop absorbs the extra inexactness.
     """
     dim = 7 * j_cap
+    # Force ONE materialization of the (damped) normal matrix: without the
+    # barrier XLA fuses its construction (S + S^T, diagonal add) into the
+    # CG loop's reads and re-pays the transposed read every iteration
+    # (dense profile: per-iteration cost stuck at ~2 ms at dim=8512
+    # regardless of the matvec dtype until the producer was severed).
+    a = jax.lax.optimization_barrier(a)
 
     def mv(p):
         if a.dtype == jnp.bfloat16:
