@@ -174,6 +174,94 @@ def _pairs_cg_kernel(blk_ref, blkt_ref, n1_ref, n2_ref, minv_ref, b_ref,
     jax.lax.fori_loop(0, iterations, cg_body, rz0)
 
 
+def _pairs_cg_kernel_chunked(blk_ref, blkt_ref, n1_ref, n2_ref, minv_ref,
+                             b_ref, x0_ref, u_ref, x_ref, r_ref, p_ref,
+                             z_ref, ap_ref, oh_ref, *, iterations: int,
+                             chunk: int):
+    """Pair-sparse PCG for DENSE pair tables: chunked one-hot scratch.
+
+    The persistent (J, P) one-hot pair of :func:`_pairs_cg_kernel` is
+    ~100 MB at mesh-16 scale (J=1280, P~19k) -- far past VMEM.  Here ONE
+    (J, chunk) scratch is regenerated per pair chunk per use (a VPU iota
+    compare, ~free next to the MXU products), with the chunk loop
+    statically unrolled (no dynamic VMEM indexing).  3 fills + 4 small
+    MXU products per chunk; banks stay f32 VMEM-resident.  Same
+    recurrence and epsilons as _pairs_cg_kernel (sum order differs by
+    the chunking -- f32 reassociation only).
+    """
+    u = u_ref[0]
+    p_cap = blk_ref.shape[1]
+    jp = b_ref.shape[1]
+    nc = p_cap // chunk
+
+    def band_mv_slice(band_ref, v, c0):
+        acc = band_ref[0:8, c0:c0 + chunk] * v
+        for d in range(1, 8):
+            acc = acc + band_ref[8 * d:8 * d + 8, c0:c0 + chunk] * \
+                pltpu.roll(v, 8 - d, 0)
+        return acc
+
+    def band_mv(band_ref, v):
+        acc = band_ref[0:8] * v
+        for d in range(1, 8):
+            acc = acc + band_ref[8 * d:8 * d + 8] * pltpu.roll(v, 8 - d, 0)
+        return acc
+
+    rows_iota = jax.lax.broadcasted_iota(jnp.int32, (jp, chunk), 0)
+
+    def matvec():
+        """ap <- (S + S^T + u I) p, accumulated over pair chunks."""
+        ap_ref[...] = u * p_ref[...]
+        for c in range(nc):  # static unroll: no dynamic VMEM slicing
+            c0 = c * chunk
+            n1c = n1_ref[0, c0:c0 + chunk][None, :]
+            n2c = n2_ref[0, c0:c0 + chunk][None, :]
+            # y1 = B p[n2] scattered to n1 ...
+            oh_ref[...] = jnp.where(rows_iota == n2c, 1.0, 0.0)
+            g = jax.lax.dot_general(
+                p_ref[...], oh_ref[...], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)        # (8, chunk)
+            t = band_mv_slice(blk_ref, g, c0)
+            oh_ref[...] = jnp.where(rows_iota == n1c, 1.0, 0.0)
+            ap_ref[...] = ap_ref[...] + jax.lax.dot_general(
+                t, oh_ref[...], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            # ... and y2 = B^T p[n1] scattered to n2 (oh currently n1).
+            g = jax.lax.dot_general(
+                p_ref[...], oh_ref[...], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            t = band_mv_slice(blkt_ref, g, c0)
+            oh_ref[...] = jnp.where(rows_iota == n2c, 1.0, 0.0)
+            ap_ref[...] = ap_ref[...] + jax.lax.dot_general(
+                t, oh_ref[...], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+    def precond(v):
+        return band_mv(minv_ref, v)
+
+    x_ref[...] = x0_ref[...]
+    p_ref[...] = x0_ref[...]
+    matvec()
+    r_ref[...] = b_ref[...] - ap_ref[...]
+    z_ref[...] = precond(r_ref[...])
+    p_ref[...] = z_ref[...]
+    rz0 = jnp.sum(r_ref[...] * z_ref[...])
+
+    def cg_body(_, rz):
+        matvec()
+        pap = jnp.sum(p_ref[...] * ap_ref[...])
+        alpha = jnp.where(jnp.abs(pap) > 1e-30, rz / pap, 0.0)
+        x_ref[...] = x_ref[...] + alpha * p_ref[...]
+        r_ref[...] = r_ref[...] - alpha * ap_ref[...]
+        z_ref[...] = precond(r_ref[...])
+        rz_new = jnp.sum(r_ref[...] * z_ref[...])
+        beta = jnp.where(jnp.abs(rz) > 1e-30, rz_new / rz, 0.0)
+        p_ref[...] = z_ref[...] + beta * p_ref[...]
+        return rz_new
+
+    jax.lax.fori_loop(0, iterations, cg_body, rz0)
+
+
 def _pairs_cg_ref(blk_pad, blkt_pad, n1, n2, minv8, b8, x08, u,
                   *, iterations: int):
     """Pure-XLA reference of _pairs_cg_kernel (identical recurrence).
@@ -252,14 +340,24 @@ def _pairs_cg_call(blk_pad, blkt_pad, n1, n2, minv8, b8, x08, u,
     """
     p_cap = blk_pad.shape[1]
     jp = b8.shape[1]
-    kernel = functools.partial(_pairs_cg_kernel, iterations=iterations)
     vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
-    return pl.pallas_call(
-        kernel,
-        in_specs=[vspec] * 7 + [pl.BlockSpec(memory_space=pltpu.SMEM)],
-        out_specs=vspec,
-        out_shape=jax.ShapeDtypeStruct((8, jp), jnp.float32),
-        scratch_shapes=[
+    # Two persistent (J, P) one-hots fit small pair tables (headline:
+    # 384 x 4096 f32 = 6.3 MB each); past the threshold, switch to the
+    # chunked kernel (one (J, chunk) scratch regenerated per use).
+    if 2 * jp * p_cap * 4 > _PAIRS_PERSISTENT_OH_MAX:
+        chunk = _PAIRS_CHUNK
+        kernel = functools.partial(_pairs_cg_kernel_chunked,
+                                   iterations=iterations, chunk=chunk)
+        scratch = [
+            pltpu.VMEM((8, jp), jnp.float32),    # r
+            pltpu.VMEM((8, jp), jnp.float32),    # p
+            pltpu.VMEM((8, jp), jnp.float32),    # z
+            pltpu.VMEM((8, jp), jnp.float32),    # ap
+            pltpu.VMEM((jp, chunk), jnp.float32),  # one-hot scratch
+        ]
+    else:
+        kernel = functools.partial(_pairs_cg_kernel, iterations=iterations)
+        scratch = [
             pltpu.VMEM((8, jp), jnp.float32),    # r
             pltpu.VMEM((8, jp), jnp.float32),    # p
             pltpu.VMEM((8, jp), jnp.float32),    # z
@@ -268,10 +366,20 @@ def _pairs_cg_call(blk_pad, blkt_pad, n1, n2, minv8, b8, x08, u,
             pltpu.VMEM((jp, p_cap), jnp.float32),  # one-hot of n2
             pltpu.VMEM((8, p_cap), jnp.float32),   # pair-lane scratch
             pltpu.VMEM((8, p_cap), jnp.float32),   # gathered-x scratch
-        ],
+        ]
+    return pl.pallas_call(
+        kernel,
+        in_specs=[vspec] * 7 + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=vspec,
+        out_shape=jax.ShapeDtypeStruct((8, jp), jnp.float32),
+        scratch_shapes=scratch,
         interpret=interpret,
     )(blk_pad, blkt_pad, n1.reshape(1, p_cap), n2.reshape(1, p_cap),
       minv8, b8, x08, u.reshape(1))
+
+
+_PAIRS_PERSISTENT_OH_MAX = 24 * 1024 * 1024  # bytes; tests may lower
+_PAIRS_CHUNK = 512
 
 
 _pairs_cg_call_seq = {}  # (iterations, interpret) -> sequential_vmap'd fn
@@ -318,6 +426,17 @@ def pairs_cg_pallas(blk_pad, blkt_pad, n1, n2, minv_pad, b_fm, u, x0_fm=None,
             n1, n2, minv8, b8, x08, jnp.asarray(u, jnp.float32),
             iterations=iterations)
         return x[:7, :j]
+
+    p_cap = blk_pad.shape[1]
+    if (2 * jp * p_cap * 4 > _PAIRS_PERSISTENT_OH_MAX
+            and p_cap % _PAIRS_CHUNK != 0):
+        # Chunked kernel: pad the pair axis to a chunk multiple (sink ids
+        # match no one-hot column, zero banks contribute nothing).
+        pad = (-p_cap) % _PAIRS_CHUNK
+        blk_pad = jnp.pad(blk_pad, ((0, 0), (0, pad)))
+        blkt_pad = jnp.pad(blkt_pad, ((0, 0), (0, pad)))
+        n1 = jnp.pad(n1, (0, pad), constant_values=jp)
+        n2 = jnp.pad(n2, (0, pad), constant_values=jp)
 
     key = (iterations, interpret)
     if key not in _pairs_cg_call_seq:

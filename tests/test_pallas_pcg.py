@@ -229,3 +229,46 @@ def test_lm_pairs_fused_vmap_batches():
     costs = np.asarray(res.cost)
     assert np.isfinite(costs).all()
     np.testing.assert_allclose(costs[0], costs[1], rtol=1e-6)
+
+
+def test_pairs_cg_chunked_kernel_matches_persistent():
+    """The chunked-one-hot kernel (dense pair tables) must match the
+    persistent-one-hot kernel on identical padded inputs (both run
+    interpreted off-TPU; the chunked path is forced by lowering the
+    VMEM threshold)."""
+    import functools as ft
+
+    from super_tpu.core.lm import _pairs_fused_solve
+    from super_tpu.core.losses import assemble_normal_equations
+    from super_tpu.geometry.quaternion import IDENTITY_DQ
+    from super_tpu.pallas_kernels import pcg as pcg_mod
+
+    cfg, intr, seq, frames = tiny_scene(num_frames=3)
+    cfg_sp = _pairs_cfg(cfg, pcg_iterations=16)
+    state = init_tracker(cfg_sp, frames[0])
+    ctx = prepare_lm(cfg_sp, state.surfels, state.graph, frames[2])
+    j_cap = cfg.capacity.node_capacity
+    beta = jnp.tile(IDENTITY_DQ[None], (j_cap, 1))
+    acc, jtr, _ = assemble_normal_equations(cfg_sp, ctx, beta, intr,
+                                            with_cost=True)
+    u = jnp.float32(10.0)
+
+    orig = pcg_mod.pairs_cg_pallas
+    pcg_mod.pairs_cg_pallas = ft.partial(orig, interpret=True)
+    try:
+        x_pers = _pairs_fused_solve(cfg_sp, ctx.layout, acc, jtr, u, j_cap)
+        old_max = pcg_mod._PAIRS_PERSISTENT_OH_MAX
+        old_chunk = pcg_mod._PAIRS_CHUNK
+        pcg_mod._PAIRS_PERSISTENT_OH_MAX = 0   # force the chunked kernel
+        pcg_mod._PAIRS_CHUNK = 128             # non-divisor: exercises pad
+        try:
+            x_chunk = _pairs_fused_solve(cfg_sp, ctx.layout, acc, jtr, u,
+                                         j_cap)
+        finally:
+            pcg_mod._PAIRS_PERSISTENT_OH_MAX = old_max
+            pcg_mod._PAIRS_CHUNK = old_chunk
+    finally:
+        pcg_mod.pairs_cg_pallas = orig
+    scale = float(np.abs(np.asarray(x_pers)).max()) + 1e-12
+    np.testing.assert_allclose(np.asarray(x_chunk) / scale,
+                               np.asarray(x_pers) / scale, atol=2e-5)
