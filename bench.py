@@ -100,7 +100,7 @@ def build_workload(args, mesh_step: int, association: str,
         # off-diagonal JTJ blocks into the sink).
         solver_kw.update(assembly_tuple_cap=8 * node_cap,
                          assembly_pair_cap=16 * node_cap,
-                         linear_solver="pcg", jtj_dtype="bf16",
+                         linear_solver="pairs_fused", pcg_iterations=32,
                          gram_sum_dtype="bf16")
     else:
         # Distinct anchor tuples plateau ~2.6k at 480p/J=336 (fusion adds

@@ -162,7 +162,7 @@ def main(argv=None) -> int:
     if node_cap > 512:  # dense ED graph: scale tuple capacity, use PCG
         solver_kw.update(assembly_tuple_cap=8 * node_cap,
                          assembly_pair_cap=16 * node_cap,
-                         linear_solver="pcg", jtj_dtype="bf16",
+                         linear_solver="pairs_fused", pcg_iterations=32,
                          gram_sum_dtype="bf16")
     if args.association:
         solver_kw.update(association=args.association)

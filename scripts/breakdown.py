@@ -76,7 +76,7 @@ def main():
     if node_cap > 512:
         solver_kw.update(assembly_tuple_cap=8 * node_cap,
                          assembly_pair_cap=16 * node_cap,
-                         linear_solver="pcg", jtj_dtype="bf16",
+                         linear_solver="pairs_fused", pcg_iterations=32,
                          gram_sum_dtype="bf16")
     cfg = cfg.replace(solver=dataclasses.replace(cfg.solver, **solver_kw))
     intr = default_intrinsics(h, w)
@@ -170,15 +170,18 @@ def main():
     beta_t = jnp.tile(IDENTITY_DQ[None], (j_cap, 1))
     jtj0, jtr0 = jax.jit(
         lambda c, b: assemble_normal_equations(cfg, c, b, intr))(ctx, beta_t)
-    a0 = jtj0 + 10.0 * jnp.eye(7 * j_cap)
+    if jtj0.ndim == 2 and jtj0.shape[0] == jtj0.shape[1]:
+        # Dense normal matrix (cholesky/pcg configs); the pairs_fused base
+        # config returns the (P, 49) pair form instead -- no chol stage.
+        a0 = jtj0.astype(jnp.float32) + 10.0 * jnp.eye(7 * j_cap)
 
-    def chol_solve(a, b):
-        d = jnp.sqrt(jnp.maximum(jnp.diagonal(a), 1e-20))
-        a_s = a / d[:, None] / d[None, :]
-        return jax.scipy.linalg.cho_solve((jnp.linalg.cholesky(a_s), True),
-                                          b / d) / d
+        def chol_solve(a, b):
+            d = jnp.sqrt(jnp.maximum(jnp.diagonal(a), 1e-20))
+            a_s = a / d[:, None] / d[None, :]
+            return jax.scipy.linalg.cho_solve(
+                (jnp.linalg.cholesky(a_s), True), b / d) / d
 
-    reg("chol", jax.jit(chol_solve), a0, jtr0)
+        reg("chol", jax.jit(chol_solve), a0, jtr0)
     reg("assemble",
         jax.jit(lambda c, b: assemble_normal_equations(cfg, c, b, intr,
                                                        with_cost=True)),

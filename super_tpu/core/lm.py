@@ -72,12 +72,10 @@ def _block_jacobi_pcg(a, b, j_cap: int, iterations: int, inv_d=None,
     accept/reject loop absorbs the extra inexactness.
     """
     dim = 7 * j_cap
-    # Force ONE materialization of the (damped) normal matrix: without the
-    # barrier XLA fuses its construction (S + S^T, diagonal add) into the
-    # CG loop's reads and re-pays the transposed read every iteration
-    # (dense profile: per-iteration cost stuck at ~2 ms at dim=8512
-    # regardless of the matvec dtype until the producer was severed).
-    a = jax.lax.optimization_barrier(a)
+    # (No optimization_barrier on `a`: measured at dim=8512 on TPU,
+    # forcing a separate materialization of the damped matrix made the
+    # dense LM ~7% SLOWER -- XLA's fusion of the construction into the
+    # loop is beneficial here, unlike the gather-duplication cases.)
 
     def mv(p):
         if a.dtype == jnp.bfloat16:
@@ -198,7 +196,17 @@ def _pairs_fused_solve(cfg: SuPerConfig, layout, acc, rhs, u, j_cap: int,
                       0.0)
     dblk = dhalf + jnp.swapaxes(dhalf, 1, 2)
     eye7 = jnp.eye(7, dtype=rhs.dtype)
+
+    # Raw-space solve with a block-Jacobi preconditioner.  (Two scaling
+    # experiments measured and rejected on the dense J=1131 workload:
+    # folding a block-Cholesky transform into the pair system blows up on
+    # near-singular node blocks at small damping (2.45 px vs 1.14 raw),
+    # and symmetric Jacobi vector scaling is a wash (1.17 px) -- the pair
+    # CG is not conditioning-limited; block-Jacobi already absorbs the
+    # q-vs-b column spread.)
     minv = jnp.linalg.inv(dblk + (u + 1e-8) * eye7)        # (J, 7, 7)
+    rhs_solve = rhs
+    u_solve = u
 
     # Diagonal-band layouts for the kernel's rolled matvec (row 8d+i):
     #   blk_pad[8d+i]  = B[i, (i+d) % 8]    (y1 = B x2)
@@ -225,10 +233,10 @@ def _pairs_fused_solve(cfg: SuPerConfig, layout, acc, rhs, u, j_cap: int,
 
     n1 = (layout.pair_dest[:, 0] // 7).astype(jnp.int32)   # J (=dim//7) when
     n2 = (layout.pair_dest[:, 1] // 7).astype(jnp.int32)   # sink -> no match
-    b_fm = rhs.reshape(j_cap, 7).T                         # (7, J)
+    b_fm = rhs_solve.reshape(j_cap, 7).T                   # (7, J)
     x0_fm = None if x0 is None else x0.reshape(j_cap, 7).T
     x_fm = pairs_cg_pallas(blk_pad, blkt_pad, n1, n2, minv_pad, b_fm,
-                           u.astype(rhs.dtype), x0_fm,
+                           u_solve.astype(rhs.dtype), x0_fm,
                            iterations=cfg.solver.pcg_iterations)
     return x_fm.T.reshape(7 * j_cap)
 

@@ -348,6 +348,11 @@ def _pairs_cg_call(blk_pad, blkt_pad, n1, n2, minv8, b8, x08, u,
         chunk = _PAIRS_CHUNK
         kernel = functools.partial(_pairs_cg_kernel_chunked,
                                    iterations=iterations, chunk=chunk)
+        # bf16 banks: the f32 banks alone are ~10 MB at P~19k and blow the
+        # 16 MB scoped-VMEM cap; the chunked path only engages for dense
+        # configs whose pair blocks are already bf16-summed.
+        blk_pad = blk_pad.astype(jnp.bfloat16)
+        blkt_pad = blkt_pad.astype(jnp.bfloat16)
         scratch = [
             pltpu.VMEM((8, jp), jnp.float32),    # r
             pltpu.VMEM((8, jp), jnp.float32),    # p
