@@ -69,7 +69,9 @@ def main():
     pr, psc, pd, _, _ = assembly.build_pair_layout(tuple_nodes, j,
                                                    pair_cap=args.paircap)
     layout = assembly.TupleLayout(
-        src_of=jnp.zeros((n,), jnp.int32), slot_valid=jnp.ones((n,), bool),
+        sort_perm=jnp.zeros((n,), jnp.int32),
+        src_pos=jnp.zeros((n,), jnp.int32),
+        slot_valid=jnp.ones((n,), bool),
         block_tuple=block_tuple, tuple_nodes=tuple_nodes,
         overflow_count=jnp.asarray(0, jnp.int32),
         pair_rank=pr, pair_scale=psc, pair_dest=pd,

@@ -30,7 +30,12 @@ import jax.numpy as jnp
 class TupleLayout(NamedTuple):
     """Per-frame static structure for the tuple-grouped assembly."""
 
-    src_of: jnp.ndarray        # (Np,) original surfel id per padded slot
+    sort_perm: jnp.ndarray     # (N,) surfel id per SORTED position
+    src_pos: jnp.ndarray       # (Np,) sorted position per padded slot
+    #   (clipped; don't-care where not slot_valid).  The old per-slot
+    #   surfel id `src_of = sort_perm[src_pos]` cost a dedicated 1-row
+    #   460k-index gather; consumers now compose two packed gathers
+    #   (bank[:, sort_perm])[:, src_pos] instead (losses.prepare_lm).
     slot_valid: jnp.ndarray    # (Np,) real + in-range surfel (not padding)
     block_tuple: jnp.ndarray   # (Np / G,) tuple id of each G-block
     tuple_nodes: jnp.ndarray   # (T, K) node ids of each tuple
@@ -71,7 +76,7 @@ class TupleLayout(NamedTuple):
 
     @property
     def padded_size(self):
-        return self.src_of.shape[0]
+        return self.src_pos.shape[0]
 
     def pad_group_of(self, np_cap: int) -> int:
         """G, recovered from the block count (shape-static)."""
@@ -158,7 +163,7 @@ def build_tuple_layout(knn_idx, active, node_cap: int, *, tuple_cap: int,
         (block_tuple[:, None] < tuple_cap - 1)
     pos = jnp.clip(pos0[:, None] + offs[None, :], 0, n - 1)
     slot_valid = valid.reshape(-1)
-    src_of = jnp.where(slot_valid, perm[pos.reshape(-1)], 0)
+    src_pos = pos.reshape(-1)
 
     # Node ids per tuple: all members of a tuple share the same 4 anchors
     # (that IS the tuple key), so gather any member -- the last, to match
@@ -173,7 +178,8 @@ def build_tuple_layout(knn_idx, active, node_cap: int, *, tuple_cap: int,
         pair_fields = build_pair_layout(tuple_nodes, node_cap,
                                         pair_cap=pair_cap,
                                         extra_pairs=extra_pairs)
-    return TupleLayout(src_of=src_of, slot_valid=slot_valid,
+    return TupleLayout(sort_perm=perm.astype(jnp.int32), src_pos=src_pos,
+                       slot_valid=slot_valid,
                        block_tuple=block_tuple, tuple_nodes=tuple_nodes,
                        overflow_count=overflow_count,
                        pair_rank=pair_fields[0], pair_scale=pair_fields[1],

@@ -151,12 +151,16 @@ def prepare_lm(cfg: SuPerConfig, surfels: SurfelState, graph: GraphState,
                         pk, j_cap, jnp.stack([nb, self_b], -1)),
                 ], axis=-1),
                 arap_swap=self_b < nb)
-        src = layout.src_of
-        # ONE packed gather for [active, knn_w(K), points(3)] -- gathers
-        # pay ~1 ms fixed per op at this index count (CLAUDE.md model).
-        packed = gather_rows(jnp.concatenate([
+        # ONE packed bank for [active, knn_w(K), points(3)], permuted to
+        # sorted order then sliced to padded slots: composing two packed
+        # gathers replaces the old dedicated 1-row src_of gather + packed
+        # gather (gathers pay ~1 ms fixed per op at this index count, and
+        # a 1-row gather costs nearly as much as an 8-row one).
+        bank = jnp.concatenate([
             surfels.active[None].astype(surfels.points.dtype),
-            surfels.knn_w, surfels.points]), src)
+            surfels.knn_w, surfels.points])
+        packed = gather_rows(gather_rows(bank, layout.sort_perm),
+                             layout.src_pos)
         k_anchors = surfels.knn_w.shape[0]
         sf_mask = layout.slot_valid & (packed[0] > 0.5)
         sf_knn_w = packed[1:1 + k_anchors]

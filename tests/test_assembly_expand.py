@@ -106,8 +106,10 @@ def test_broadcast_beta_matches_gather(scene):
     beta_t = beta[ctx.layout.tuple_nodes]
     bk = _beta_k_of(ctx, beta_t, xs0)
     # Reference: the per-surfel gather the broadcast replaced -- each padded
-    # slot's anchors via src_of (tuple mode no longer carries sf_knn_idx).
-    knn_slot = state.surfels.knn_idx[:, ctx.layout.src_of]      # (K, Np)
+    # slot's anchors via sort_perm[src_pos] (tuple mode no longer carries
+    # sf_knn_idx).
+    src_of = ctx.layout.sort_perm[ctx.layout.src_pos]
+    knn_slot = state.surfels.knn_idx[:, src_of]      # (K, Np)
     ref = beta[knn_slot.T]
     sel = np.asarray(ctx.sf_mask)
     np.testing.assert_array_equal(np.asarray(bk)[sel], np.asarray(ref)[sel])

@@ -16,7 +16,8 @@ def _setup(rng, np_cap=4096, g=32, t_cap=64):
     h = rng.normal(size=(np_cap, 28)).astype(np.float32)
     r = rng.normal(size=(np_cap,)).astype(np.float32)
     layout = TupleLayout(
-        src_of=jnp.zeros((np_cap,), jnp.int32),
+        sort_perm=jnp.zeros((np_cap,), jnp.int32),
+        src_pos=jnp.zeros((np_cap,), jnp.int32),
         slot_valid=jnp.ones((np_cap,), bool),
         block_tuple=jnp.asarray(bt),
         tuple_nodes=jnp.zeros((t_cap, 4), jnp.int32),
