@@ -196,6 +196,16 @@ def main():
         jax.jit(lambda s: fusion_mod.fuse_frame(cfg, intr, s.surfels,
                                                 s.graph, frames[1])),
         state0, probe=lambda o: o[0].points[0, 0])
+    # Stage 4 in isolation with a REALISTIC post-merge add mask (~2% of
+    # pixels), instead of the fuse-minus-fuse_no4 subtraction (stage
+    # interactions inflate that delta).
+    _mask_np = (jnp.arange(cfg.image_pixels) % 50) == 0
+    reg("fuse_add",
+        jax.jit(lambda s, f: fusion_mod.add_candidates(
+            cfg, intr, s.surfels, s.graph, f, _mask_np & f.valid,
+            f.time)),
+        state0, frames[1], probe=lambda o: o[0].points[0, 0] +
+        o[1].astype(jnp.float32))
     # Stage-isolated fusion variants: fuse minus fuse_noX = stage X's cost.
     for tag, kw in (("no2", dict(disable_merging_new_surfels=True)),
                     ("no3", dict(disable_merging_exist_surfels=True)),

@@ -298,6 +298,92 @@ class FusionDiag(NamedTuple):
     #   duplicate-merge list (their duplicate merges wait for a later frame)
 
 
+def add_candidates(cfg: SuPerConfig, intr: Intrinsics, surfels: SurfelState,
+                   graph: GraphState, frame: FrameData, add_mask, time):
+    """Fusion stage 4: anchor + stability-gate the unmatched candidates and
+    write them into free slots (nodes.py:486-538).
+
+    Returns (surfels, add_overflow, free_exhausted).  Factored out of
+    fuse_frame so the profiling harness can time it with a REAL add mask.
+    """
+    p = cfg.image_pixels
+    # Compact the add candidates to new_surfel_capacity rows before the
+    # ED-anchoring KNN: after frame 1 only a few thousand pixels are
+    # unmatched, so anchoring all H*W pixel slots (the dense-masked
+    # equivalent of nodes.py:486-500) would waste a full-image KNN.
+    a_cap = cfg.capacity.new_surfel_capacity
+    # r-th unmatched candidate by searchsorted over the cumsum (see the
+    # stage-3 compact list -- same scatter-free compaction).
+    cand_cs = jnp.cumsum(add_mask).astype(jnp.int32)
+    add_overflow = jnp.maximum(cand_cs[-1] - a_cap, 0)
+    cand_r1 = jnp.arange(1, a_cap + 1, dtype=jnp.int32)
+    comp_src = jnp.searchsorted(cand_cs, cand_r1).astype(jnp.int32)
+    comp_valid = cand_r1 <= cand_cs[-1]
+    comp_src = jnp.where(comp_valid, jnp.clip(comp_src, 0, p - 1), 0)
+
+    # One gather fetches every candidate field (frame rows packed once).
+    fdt = frame.points.dtype
+    fbank2 = jnp.concatenate([
+        frame.points, frame.norms, frame.colors, frame.radii[None],
+        frame.confs[None], frame.dist2edge[None],
+        frame.seg.astype(fdt)[None], frame.seg_conf], axis=0)
+    cvals = gather_rows(fbank2, comp_src)          # (13 + C, a_cap)
+    c_points = cvals[0:3]
+    c_seg = cvals[12].astype(jnp.int32)
+    c_seg_conf = cvals[13:]
+    knn_idx, knn_w, stable = anchor_points(
+        cfg, graph, c_points, comp_valid, seg=c_seg,
+        seg_conf=c_seg_conf)
+    add = comp_valid & stable
+
+    n = surfels.capacity
+    free = ~surfels.active
+    # The add's slot = position of its rank-th free slot: searchsorted
+    # over the free-mask cumsum replaces the N-element rank scatter.
+    free_cs = jnp.cumsum(free).astype(jnp.int32)
+    add_rank1 = jnp.cumsum(add).astype(jnp.int32)     # 1-based rank
+    fits = add & (add_rank1 <= free_cs[-1])
+    target = jnp.where(fits, jnp.searchsorted(
+        free_cs, add_rank1).astype(jnp.int32), n)
+    free_exhausted = jnp.sum(add & ~fits).astype(jnp.int32)
+
+    # ONE packed 2D column scatter writes every field (ints carried as
+    # f32 -- node ids and labels are far below 2^24): per-row scatters
+    # pay a fixed ~1 ms each on TPU, and there are 23+C rows.
+    src_bank = jnp.concatenate([
+        cvals,                  # pts/nrm/col/radii/confs/d2e/seg/segconf
+        jnp.full((1, a_cap), time, dtype=fdt),      # time_stamp
+        knn_idx.astype(fdt), knn_w,
+        jnp.ones((1, a_cap), fdt),                  # active
+    ], axis=0)
+    dst_bank = jnp.concatenate([
+        surfels.points, surfels.norms, surfels.colors,
+        surfels.radii[None], surfels.confs[None],
+        surfels.dist2edge[None], surfels.seg.astype(fdt)[None],
+        surfels.seg_conf, surfels.time_stamp[None],
+        surfels.knn_idx.astype(fdt), surfels.knn_w,
+        surfels.active.astype(fdt)[None],
+    ], axis=0)
+    new_bank = dst_bank.at[:, target].set(src_bank, mode="drop")
+    nc_seg = frame.seg_conf.shape[0]
+    surfels = surfels._replace(
+        points=new_bank[0:3],
+        norms=new_bank[3:6],
+        colors=new_bank[6:9],
+        radii=new_bank[9],
+        confs=new_bank[10],
+        dist2edge=new_bank[11],
+        seg=new_bank[12].astype(jnp.int32),
+        seg_conf=new_bank[13:13 + nc_seg],
+        time_stamp=new_bank[13 + nc_seg],
+        knn_idx=new_bank[14 + nc_seg:18 + nc_seg].astype(
+            surfels.knn_idx.dtype),
+        knn_w=new_bank[18 + nc_seg:22 + nc_seg],
+        active=new_bank[22 + nc_seg] > 0.5,
+    )
+    return surfels, add_overflow, free_exhausted
+
+
 def fuse_frame(cfg: SuPerConfig, intr: Intrinsics, surfels: SurfelState,
                graph: GraphState, frame: FrameData
                ) -> Tuple[SurfelState, jnp.ndarray, FusionDiag]:
@@ -428,80 +514,8 @@ def fuse_frame(cfg: SuPerConfig, intr: Intrinsics, surfels: SurfelState,
     add_overflow = jnp.asarray(0, jnp.int32)
     free_exhausted = jnp.asarray(0, jnp.int32)
     if not cfg.disable_adding_new_surfels:
-        # Compact the add candidates to new_surfel_capacity rows before the
-        # ED-anchoring KNN: after frame 1 only a few thousand pixels are
-        # unmatched, so anchoring all H*W pixel slots (the dense-masked
-        # equivalent of nodes.py:486-500) would waste a full-image KNN.
-        a_cap = cfg.capacity.new_surfel_capacity
-        # r-th unmatched candidate by searchsorted over the cumsum (see the
-        # stage-3 compact list -- same scatter-free compaction).
-        cand_cs = jnp.cumsum(add_mask).astype(jnp.int32)
-        add_overflow = jnp.maximum(cand_cs[-1] - a_cap, 0)
-        cand_r1 = jnp.arange(1, a_cap + 1, dtype=jnp.int32)
-        comp_src = jnp.searchsorted(cand_cs, cand_r1).astype(jnp.int32)
-        comp_valid = cand_r1 <= cand_cs[-1]
-        comp_src = jnp.where(comp_valid, jnp.clip(comp_src, 0, p - 1), 0)
-
-        # One gather fetches every candidate field (frame rows packed once).
-        fdt = frame.points.dtype
-        fbank2 = jnp.concatenate([
-            frame.points, frame.norms, frame.colors, frame.radii[None],
-            frame.confs[None], frame.dist2edge[None],
-            frame.seg.astype(fdt)[None], frame.seg_conf], axis=0)
-        cvals = gather_rows(fbank2, comp_src)          # (13 + C, a_cap)
-        c_points = cvals[0:3]
-        c_seg = cvals[12].astype(jnp.int32)
-        c_seg_conf = cvals[13:]
-        knn_idx, knn_w, stable = anchor_points(
-            cfg, graph, c_points, comp_valid, seg=c_seg,
-            seg_conf=c_seg_conf)
-        add = comp_valid & stable
-
-        n = surfels.capacity
-        free = ~surfels.active
-        # The add's slot = position of its rank-th free slot: searchsorted
-        # over the free-mask cumsum replaces the N-element rank scatter.
-        free_cs = jnp.cumsum(free).astype(jnp.int32)
-        add_rank1 = jnp.cumsum(add).astype(jnp.int32)     # 1-based rank
-        fits = add & (add_rank1 <= free_cs[-1])
-        target = jnp.where(fits, jnp.searchsorted(
-            free_cs, add_rank1).astype(jnp.int32), n)
-        free_exhausted = jnp.sum(add & ~fits).astype(jnp.int32)
-
-        # ONE packed 2D column scatter writes every field (ints carried as
-        # f32 -- node ids and labels are far below 2^24): per-row scatters
-        # pay a fixed ~1 ms each on TPU, and there are 23+C rows.
-        src_bank = jnp.concatenate([
-            cvals,                  # pts/nrm/col/radii/confs/d2e/seg/segconf
-            jnp.full((1, a_cap), time, dtype=fdt),      # time_stamp
-            knn_idx.astype(fdt), knn_w,
-            jnp.ones((1, a_cap), fdt),                  # active
-        ], axis=0)
-        dst_bank = jnp.concatenate([
-            surfels.points, surfels.norms, surfels.colors,
-            surfels.radii[None], surfels.confs[None],
-            surfels.dist2edge[None], surfels.seg.astype(fdt)[None],
-            surfels.seg_conf, surfels.time_stamp[None],
-            surfels.knn_idx.astype(fdt), surfels.knn_w,
-            surfels.active.astype(fdt)[None],
-        ], axis=0)
-        new_bank = dst_bank.at[:, target].set(src_bank, mode="drop")
-        nc_seg = frame.seg_conf.shape[0]
-        surfels = surfels._replace(
-            points=new_bank[0:3],
-            norms=new_bank[3:6],
-            colors=new_bank[6:9],
-            radii=new_bank[9],
-            confs=new_bank[10],
-            dist2edge=new_bank[11],
-            seg=new_bank[12].astype(jnp.int32),
-            seg_conf=new_bank[13:13 + nc_seg],
-            time_stamp=new_bank[13 + nc_seg],
-            knn_idx=new_bank[14 + nc_seg:18 + nc_seg].astype(
-                surfels.knn_idx.dtype),
-            knn_w=new_bank[18 + nc_seg:22 + nc_seg],
-            active=new_bank[22 + nc_seg] > 0.5,
-        )
+        surfels, add_overflow, free_exhausted = add_candidates(
+            cfg, intr, surfels, graph, frame, add_mask, time)
 
     diag = FusionDiag(
         proj_overflow=jnp.sum(overflow).astype(jnp.int32),
