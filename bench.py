@@ -286,28 +286,32 @@ def measure_sol(args, reps: int = 40) -> dict:
             if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating)
             else a, tree)
 
+    # Operands ride as loop_time ARGS (jit arguments), not closures: the
+    # remote-compile tunnel rejects >~150 MB of jit constants, and ctx now
+    # carries the hoisted one-hot operands (TupleLayout).
     stages = {
-        "prepare": lambda d: probe_sum(prepare_lm(
-            sol_cfg, state0.surfels, state0.graph, bump(frames[1], d))),
+        "prepare": (lambda d, s, f: probe_sum(prepare_lm(
+            sol_cfg, s.surfels, s.graph, bump(f, d))),
+            (state0, frames[1])),
         # identity association ignores beta -- perturb the ctx itself.
-        "assoc": lambda d: probe_sum(associate(
-            sol_cfg, bump(ctx, d), beta0, intr, identity=True)),
-        "assemble": lambda d: probe_sum(assemble_normal_equations(
-            sol_cfg, ctx, beta0 + 0 * d, intr, assoc=assoc,
-            with_cost=True)),
-        "solve": lambda d: probe_sum(_pairs_fused_solve(
-            sol_cfg, ctx.layout, acc + 0 * d, jtr, jnp.float32(10.0),
-            j_cap)),
-        "fuse": lambda d: probe_sum(fusion_mod.fuse_frame(
+        "assoc": (lambda d, c: probe_sum(associate(
+            sol_cfg, bump(c, d), beta0, intr, identity=True)), (ctx,)),
+        "assemble": (lambda d, c, b: probe_sum(assemble_normal_equations(
+            sol_cfg, c, b + 0 * d, intr, assoc=assoc,
+            with_cost=True)), (ctx, beta0)),
+        "solve": (lambda d, lo, a, r: probe_sum(_pairs_fused_solve(
+            sol_cfg, lo, a + 0 * d, r, jnp.float32(10.0),
+            j_cap)), (ctx.layout, acc, jtr)),
+        "fuse": (lambda d, s, f: probe_sum(fusion_mod.fuse_frame(
             sol_cfg, intr,
-            state0.surfels._replace(points=state0.surfels.points + 0 * d),
-            state0.graph, frames[1])),
+            s._replace(points=s.points + 0 * d),
+            state0.graph, f)), (state0.surfels, frames[1])),
     }
     achieved = {}
-    for name, fn in stages.items():
+    for name, (fn, ops) in stages.items():
         achieved[name] = loop_time(  # -> ms/iteration
-            lambda acc_, _fn=fn: _fn(acc_).astype(jnp.float32),
-            jnp.float32(0.0), n_iter=reps)
+            lambda acc_, *oa, _fn=fn: _fn(acc_, *oa).astype(jnp.float32),
+            jnp.float32(0.0), n_iter=reps, args=ops)
 
     np_cap = cfg.capacity.surfel_capacity
     floors = sol.stage_floors(

@@ -320,11 +320,15 @@ def main():
                     return a
                 return jax.tree.map(bump, tree)
 
-            def make_fn(acc, _fn=fn, _fargs=fargs, _probe=probe):
-                new_args = [inject(a, acc) for a in _fargs]
+            def make_fn(acc, *fa, _fn=fn, _probe=probe):
+                # Operands arrive as jit ARGUMENTS (not closure constants:
+                # the tunnel 413s on >150 MB of constants, and the hoisted
+                # one-hot fields push ctx pytrees past that).
+                new_args = [inject(a, acc) for a in fa]
                 return _probe(_fn(*new_args)).astype(jnp.float32)
 
-            dt = loop_time(make_fn, jnp.float32(0.0), n_iter=args.reps) / 1e3
+            dt = loop_time(make_fn, jnp.float32(0.0), n_iter=args.reps,
+                           args=tuple(fargs)) / 1e3
         else:
             dt = chain_time(fn, *fargs, probe=probe, reps=args.reps)
         out[name] = round(dt * 1e3, 2)

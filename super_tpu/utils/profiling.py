@@ -72,18 +72,25 @@ def trace(logdir: str):
         jax.profiler.stop_trace()
 
 
-def loop_time(make_fn: Callable, init, n_iter: int = 20) -> float:
+def loop_time(make_fn: Callable, init, n_iter: int = 20,
+              args: tuple = ()) -> float:
     """Milliseconds per iteration of ``make_fn`` measured inside one
-    compiled fori_loop (amortizes dispatch entirely)."""
+    compiled fori_loop (amortizes dispatch entirely).
+
+    ``args``: operand pytrees passed as REAL jit arguments
+    (``make_fn(acc, *args)``).  Closure-captured operands become jit
+    constants, and the remote-compile tunnel rejects programs with
+    >~150 MB of constants (HTTP 413) -- route anything big through here.
+    """
 
     @jax.jit
-    def run(x):
+    def run(x, *a):
         def body(i, acc):
-            return acc + make_fn(acc * 1e-30) * 1e-30
+            return acc + make_fn(acc * 1e-30, *a) * 1e-30
         return jax.lax.fori_loop(0, n_iter, body, x)
 
-    r = run(init)
+    r = run(init, *args)
     float(r)
     t0 = time.perf_counter()
-    float(run(init))
+    float(run(init, *args))
     return (time.perf_counter() - t0) / n_iter * 1e3
