@@ -296,16 +296,16 @@ def measure_sol(args, reps: int = 40) -> dict:
         # identity association ignores beta -- perturb the ctx itself.
         "assoc": (lambda d, c: probe_sum(associate(
             sol_cfg, bump(c, d), beta0, intr, identity=True)), (ctx,)),
-        "assemble": (lambda d, c, b: probe_sum(assemble_normal_equations(
-            sol_cfg, c, b + 0 * d, intr, assoc=assoc,
-            with_cost=True)), (ctx, beta0)),
+        "assemble": (lambda d, c, b, asc: probe_sum(assemble_normal_equations(
+            sol_cfg, c, b + 0 * d, intr, assoc=asc,
+            with_cost=True)), (ctx, beta0, assoc)),
         "solve": (lambda d, lo, a, r: probe_sum(_pairs_fused_solve(
             sol_cfg, lo, a + 0 * d, r, jnp.float32(10.0),
             j_cap)), (ctx.layout, acc, jtr)),
-        "fuse": (lambda d, s, f: probe_sum(fusion_mod.fuse_frame(
+        "fuse": (lambda d, s, g, f: probe_sum(fusion_mod.fuse_frame(
             sol_cfg, intr,
             s._replace(points=s.points + 0 * d),
-            state0.graph, f)), (state0.surfels, frames[1])),
+            g, f)), (state0.surfels, state0.graph, frames[1])),
     }
     achieved = {}
     for name, (fn, ops) in stages.items():

@@ -47,8 +47,29 @@ def main():
     n = surfels.capacity
     mask_np = ((jnp.arange(p) % 50) == 0)
 
+    def inject(tree, d):
+        # Perturb EVERY leaf by a loop-dependent zero (breakdown.py inject):
+        # otherwise free = ~sf.active, its cumsum, and the dst_bank concat
+        # are loop-invariant and XLA hoists them out of the timed fori_loop,
+        # under-attributing exactly the costs this script bisects.
+        zi = (d * 0.0).astype(jnp.int32)
+
+        def bump(a):
+            if not hasattr(a, "dtype"):
+                return a
+            if jnp.issubdtype(a.dtype, jnp.floating):
+                return a + d.astype(a.dtype) * 0
+            if a.dtype == jnp.bool_:
+                return a ^ (zi != 0)
+            if jnp.issubdtype(a.dtype, jnp.integer):
+                return a + zi.astype(a.dtype)
+            return a
+        return jax.tree.map(bump, tree)
+
     def prefix(upto):
         def fn(d, sf, fr):
+            sf = inject(sf, d)
+            fr = inject(fr, d)
             add_mask = mask_np & fr.valid & (d.astype(jnp.int32) == 0)
             acc = jnp.float32(0)
             cand_cs = jnp.cumsum(add_mask).astype(jnp.int32)

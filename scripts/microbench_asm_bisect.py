@@ -75,6 +75,15 @@ def main():
                                                  weight, g_per)
 
             nc_live = L._live_chunk_count(c, nc, chunk)
+            # Mirror the library guards (losses.py): the fori_loop prefix
+            # below only models the nc > 1, live_end-set configuration --
+            # anything else would silently diverge from the real program.
+            assert nc > 1, (
+                f"assembly_chunk {chunk} >= surfel cap: the library takes "
+                "the single-chunk path; rerun with a smaller --chunk")
+            assert nc_live is not None, (
+                "layout.live_end unset: the library takes the lax.scan "
+                "path this script does not model")
             bpc = chunk // g_per
             parts0 = jnp.zeros((nc, bpc, 28 * 29), beta.dtype)
 
@@ -92,7 +101,8 @@ def main():
             if upto == "jac":
                 return cost + jnp.sum(partial[::97])
             acc = assembly.segment_sum_matmul(
-                partial, layout.block_tuple, t_cap, sum_dtype="bf16")
+                partial, layout.block_tuple, t_cap,
+                sum_dtype=sol.gram_sum_dtype)
             acc = acc.reshape(t_cap, 28, 29)
             gram, jtr_t = acc[..., :28], acc[..., 28]
             if upto == "segsum1":
@@ -102,7 +112,8 @@ def main():
                 return cost + jnp.sum(rows[::97])
             pair_cap = layout.pair_dest.shape[0]
             pacc = assembly.segment_sum_matmul(rows, layout.pair_rank10,
-                                               pair_cap, sum_dtype="bf16")
+                                               pair_cap,
+                                               sum_dtype=sol.gram_sum_dtype)
             if upto == "pairsum":
                 return cost + jnp.sum(pacc)
             flat_nodes = layout.tuple_nodes.reshape(-1)

@@ -272,9 +272,6 @@ def lm_solve(cfg: SuPerConfig, ctx: LMContext, intr: Intrinsics,
         assoc = associate(cfg, ctx, beta0, intr, identity=True)
 
     pairs_fused = cfg.solver.linear_solver == "pairs_fused"
-    if pairs_fused and cfg.solver.lm_hypotheses > 1:
-        raise ValueError("pairs_fused does not support lm_hypotheses > 1 "
-                         "yet (the Pallas CG kernel is not vmappable)")
 
     def solve_damped(a, rhs, x0=None):
         """Solve the damped, Jacobi-scaled normal system.
@@ -463,6 +460,13 @@ def _lm_solve_hypotheses(cfg: SuPerConfig, ctx: LMContext, intr, axis_name,
     improve, u *= v as in the reject branch.  H=2 reproduces the classic
     one-test schedule's accept outcome while also probing the next-smaller
     damping, so each assembly explores twice the damping ladder.
+
+    Under the production ``pairs_fused`` solver the H damped solves run as
+    H *sequential* Pallas CG launches sharing the one assembled pair table
+    (the kernel pipelines its own grid and is not vmappable; H is tiny and
+    each launch is sub-ms, so sequential solves cost far less than the
+    assembly they share).  The H candidate costs still batch through one
+    vmapped residual pass.
     """
     hyp = cfg.solver.lm_hypotheses
     j_cap = beta0.shape[0]
@@ -474,7 +478,13 @@ def _lm_solve_hypotheses(cfg: SuPerConfig, ctx: LMContext, intr, axis_name,
         beta, best_beta, best_cost, u = carry
         jtj, jtr, _ = assemble(beta)
         us = u * jnp.asarray(v, dtype) ** exps                  # (H,)
-        deltas = jax.vmap(lambda ui: solve_damped(damped(jtj, ui), jtr))(us)
+        if cfg.solver.linear_solver == "pairs_fused":
+            # H sequential kernel launches over the shared pair table.
+            deltas = jnp.stack([solve_damped(damped(jtj, us[h]), jtr)
+                                for h in range(hyp)])
+        else:
+            deltas = jax.vmap(
+                lambda ui: solve_damped(damped(jtj, ui), jtr))(us)
         oks = jnp.all(jnp.isfinite(deltas), axis=-1)            # (H,)
         deltas = jnp.where(oks[:, None], deltas, 0.0)
         cands = beta[None] + deltas.reshape(hyp, j_cap, 7)      # (H, J, 7)

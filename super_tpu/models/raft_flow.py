@@ -14,8 +14,12 @@ dy into the sampler's x slot; the window is symmetric so only the channel
 order matters, and conv weights are keyed to it).  Output parity vs a torch
 build from the reference's own raft_core modules is tested in
 tests/test_flow_parity.py.  torchvision's re-implementation renames modules
-(feature_encoder/context_encoder/...); converting those checkpoints needs a
-key remap that is not attempted here.
+(feature_encoder/context_encoder/...); ``convert_torchvision_raft_flow``
+remaps that layout onto the original one and delegates -- torchvision's
+raft_large is architecturally identical to princeton-vl RAFT-large
+(including the corr-window order: its meshgrid(di, dj, indexing="ij") adds
+the OUTER axis to grid_sample's x slot, same as the original), so the
+remap is pure renaming.
 
 Interface: ``flow = model.apply(params, img1, img2)`` -> (N, H, W, 2),
 images in [0, 1].
@@ -248,3 +252,69 @@ def convert_torch_raft_flow(state_dict: Dict[str, Any]) -> Dict[str, Any]:
         "mask_2": conv("update_block.mask.2"),
     }
     return {"params": params}
+
+
+def convert_torchvision_raft_flow(state_dict: Dict[str, Any]
+                                  ) -> Dict[str, Any]:
+    """torchvision ``raft_large`` checkpoint -> RAFTFlow flax params.
+
+    The reference sources its sf_corr flow weights from torchvision
+    (utils/shared_functions.py:131-134).  torchvision's RAFT (>= 0.12,
+    torchvision/models/optical_flow/raft.py) is the original architecture
+    under renamed modules; this remaps its key layout onto the
+    princeton-vl one and delegates to ``convert_torch_raft_flow``:
+
+      feature_encoder/context_encoder -> fnet/cnet, with
+        convnormrelu.{0,1} -> conv1/norm1 (stem),
+        layerL.B.convnormrelu{1,2}.{0,1} -> conv1/conv2 + norm1/norm2,
+        layerL.B.downsample.{0,1} -> downsample.0 + norm3,
+        conv -> conv2 (the final 1x1);
+      update_block.motion_encoder.conv{corr1,corr2,flow1,flow2,conv}.0
+        -> update_block.encoder.{convc1,convc2,convf1,convf2,conv};
+      update_block.recurrent_block.convgru{1,2}.conv{z,r,q}
+        -> update_block.gru.conv{z,r,q}{1,2};
+      update_block.flow_head.conv{1,2} unchanged;
+      mask_predictor.{convrelu.0,conv} -> update_block.mask.{0,2}.
+
+    BatchNorm ``num_batches_tracked`` counters are dropped.  Only the
+    raft_large layout is supported (raft_small uses different modules:
+    SmallMotionEncoder / a single full ConvGRU / no mask predictor).
+    """
+    import re
+
+    out = {}
+    for k, v in state_dict.items():
+        if k.startswith("module."):
+            k = k[len("module."):]
+        if k.endswith("num_batches_tracked"):
+            continue
+        nk = k
+        nk = nk.replace("feature_encoder.", "fnet.")
+        nk = nk.replace("context_encoder.", "cnet.")
+        if nk.startswith(("fnet.", "cnet.")):
+            nk = nk.replace(".convnormrelu1.0.", ".conv1.")
+            nk = nk.replace(".convnormrelu1.1.", ".norm1.")
+            nk = nk.replace(".convnormrelu2.0.", ".conv2.")
+            nk = nk.replace(".convnormrelu2.1.", ".norm2.")
+            nk = nk.replace(".downsample.1.", ".norm3.")
+            nk = re.sub(r"^(fnet|cnet)\.convnormrelu\.0\.", r"\1.conv1.",
+                        nk)
+            nk = re.sub(r"^(fnet|cnet)\.convnormrelu\.1\.", r"\1.norm1.",
+                        nk)
+            nk = re.sub(r"^(fnet|cnet)\.conv\.", r"\1.conv2.", nk)
+        nk = re.sub(
+            r"^update_block\.motion_encoder\.conv(corr1|corr2|flow1|flow2)"
+            r"\.0\.",
+            lambda m: "update_block.encoder.conv%s." % {
+                "corr1": "c1", "corr2": "c2",
+                "flow1": "f1", "flow2": "f2"}[m.group(1)], nk)
+        nk = nk.replace("update_block.motion_encoder.conv.0.",
+                        "update_block.encoder.conv.")
+        nk = re.sub(r"^update_block\.recurrent_block\.convgru([12])"
+                    r"\.conv([zrq])\.",
+                    r"update_block.gru.conv\g<2>\g<1>.", nk)
+        nk = nk.replace("mask_predictor.convrelu.0.",
+                        "update_block.mask.0.")
+        nk = nk.replace("mask_predictor.conv.", "update_block.mask.2.")
+        out[nk] = v
+    return convert_torch_raft_flow(out)

@@ -199,3 +199,66 @@ def test_flow_converter_tree_matches_init():
     flat_i = jax.tree_util.tree_flatten_with_path(init)[0]
     assert ({jax.tree_util.keystr(p): v.shape for p, v in flat_c}
             == {jax.tree_util.keystr(p): v.shape for p, v in flat_i})
+
+
+def _to_torchvision_layout(sd):
+    """Rename an original-layout (princeton-vl) RAFT state dict into
+    torchvision's raft_large layout (torchvision/models/optical_flow/
+    raft.py module names), the inverse of the remap inside
+    ``convert_torchvision_raft_flow``."""
+    import re
+
+    out = {}
+    for k, v in sd.items():
+        nk = k
+        nk = re.sub(r"^fnet\.", "feature_encoder.", nk)
+        nk = re.sub(r"^cnet\.", "context_encoder.", nk)
+        if nk.startswith(("feature_encoder.", "context_encoder.")):
+            if ".norm3." in nk:
+                continue  # duplicate of downsample.1 in the original dict
+            nk = re.sub(r"^(\w+)\.conv1\.", r"\1.convnormrelu.0.", nk)
+            nk = re.sub(r"^(\w+)\.norm1\.", r"\1.convnormrelu.1.", nk)
+            nk = re.sub(r"^(\w+)\.conv2\.", r"\1.conv.", nk)
+            nk = nk.replace(".conv1.", ".convnormrelu1.0.")
+            nk = nk.replace(".norm1.", ".convnormrelu1.1.")
+            nk = nk.replace(".conv2.", ".convnormrelu2.0.")
+            nk = nk.replace(".norm2.", ".convnormrelu2.1.")
+        nk = re.sub(r"^update_block\.encoder\.conv([cf])([12])\.",
+                    lambda m: "update_block.motion_encoder.conv%s%s.0." % (
+                        {"c": "corr", "f": "flow"}[m.group(1)], m.group(2)),
+                    nk)
+        nk = nk.replace("update_block.encoder.conv.",
+                        "update_block.motion_encoder.conv.0.")
+        nk = re.sub(r"^update_block\.gru\.conv([zrq])([12])\.",
+                    r"update_block.recurrent_block.convgru\g<2>.conv\g<1>.",
+                    nk)
+        nk = nk.replace("update_block.mask.0.", "mask_predictor.convrelu.0.")
+        nk = nk.replace("update_block.mask.2.", "mask_predictor.conv.")
+        out[nk] = v
+    # BatchNorm counters torchvision checkpoints carry; must be dropped.
+    for bk in [k for k in out if k.endswith(".running_mean")]:
+        out[bk.replace(".running_mean", ".num_batches_tracked")] = (
+            torch.zeros((), dtype=torch.int64))
+    return out
+
+
+def test_torchvision_layout_converter_matches_original():
+    """convert_torchvision_raft_flow on a torchvision-layout dict must
+    produce exactly the params the original-layout converter produces (the
+    original layout is output-parity-pinned above)."""
+    from super_tpu.models.raft_flow import convert_torchvision_raft_flow
+
+    try:
+        model = _build_torch_raft()
+    except Exception as exc:  # pragma: no cover
+        pytest.skip(f"reference raft_core modules unavailable: {exc}")
+    sd = model.state_dict()
+    p_orig = convert_torch_raft_flow(sd)
+    p_tv = convert_torchvision_raft_flow(_to_torchvision_layout(sd))
+    flat_o = jax.tree_util.tree_flatten_with_path(p_orig)[0]
+    flat_t = dict(jax.tree_util.tree_flatten_with_path(p_tv)[0])
+    assert len(flat_o) == len(flat_t)
+    for path, v in flat_o:
+        np.testing.assert_array_equal(np.asarray(v),
+                                      np.asarray(flat_t[path]),
+                                      err_msg=jax.tree_util.keystr(path))

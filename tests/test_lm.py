@@ -391,3 +391,21 @@ def test_moving_assembly_chunked_matches_unchunked():
         scale = np.abs(b).max() + 1e-12
         np.testing.assert_allclose(a / scale, b / scale, atol=5e-6,
                                    err_msg=name)
+
+
+def test_hypotheses_pairs_fused_descends(scene, tracker0):
+    """lm_hypotheses=2 under the production pairs_fused solver (H sequential
+    Pallas-CG launches over the one shared pair assembly) must run and reach
+    a final cost no worse than single-hypothesis pairs_fused (H=2 contains
+    its candidate, modulo CG inexactness)."""
+    cfg, intr, seq, frames = scene
+    st = tracker0
+    cfg_p = _sched_cfg(cfg, linear_solver="pairs_fused", pcg_iterations=32)
+    ctx = prepare_lm(cfg_p, st.surfels, st.graph, frames[3])
+
+    res_1 = jax.jit(lambda c: lm_solve(cfg_p, c, intr))(ctx)
+    res_h = jax.jit(lambda c: lm_solve(
+        _sched_cfg(cfg_p, lm_hypotheses=2), c, intr))(ctx)
+    assert np.isfinite(float(res_h.cost))
+    assert float(res_h.cost) <= float(res_1.cost) * (1 + 1e-2), (
+        float(res_h.cost), float(res_1.cost))
