@@ -117,12 +117,20 @@ def build_models(cfg: SuPerConfig,
 
         flow_model = RAFTFlow(iters=12)
         if flow_checkpoint:
-            # Original-RAFT layout (e.g. raft-things.pth); the reference
-            # instead pulls torchvision's pretrained raft_large
-            # (shared_functions.py:131-134), whose renamed module tree is
-            # not remapped here.
-            flow_params = convert_torch_raft_flow(
-                _load_torch_state(flow_checkpoint))
+            # Either the original princeton-vl layout (raft-things.pth) or
+            # torchvision's raft_large layout -- the reference's actual
+            # weight source (shared_functions.py:131-134) -- detected by
+            # the renamed module tree.
+            sd = _load_torch_state(flow_checkpoint)
+            if any(k.split("module.", 1)[-1].startswith(
+                    ("feature_encoder.", "context_encoder."))
+                    for k in sd):
+                from super_tpu.models.raft_flow import (
+                    convert_torchvision_raft_flow,
+                )
+                flow_params = convert_torchvision_raft_flow(sd)
+            else:
+                flow_params = convert_torch_raft_flow(sd)
         else:
             flow_params = flow_model.init(key, dummy, dummy)
 
