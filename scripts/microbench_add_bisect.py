@@ -127,12 +127,27 @@ def main():
             return acc
         return fn
 
-    names = ["cumsum_p", "compact_p", "gather", "anchor", "slots", "full"]
+    def lib(d, sf, fr):
+        # The REAL library stage in the same harness: a gap vs the "full"
+        # replica points at the replica, not add_candidates.
+        from super_tpu.core import fusion as fusion_mod
+        sf = inject(sf, d)
+        fr = inject(fr, d)
+        add_mask = mask_np & fr.valid & (d.astype(jnp.int32) == 0)
+        out_sf, ov, ex = fusion_mod.add_candidates(
+            cfg, intr, sf, graph, fr, add_mask, fr.time)
+        acc = ov.astype(jnp.float32) + ex.astype(jnp.float32)
+        for a in jax.tree.leaves(out_sf):
+            acc = acc + jnp.sum(a).astype(jnp.float32)
+        return acc
+
+    names = ["cumsum_p", "compact_p", "gather", "anchor", "slots", "full",
+             "lib"]
     if args.stages:
         names = args.stages.split(",")
     out = {}
     for nm in names:
-        fn = prefix(nm)
+        fn = lib if nm == "lib" else prefix(nm)
         out[nm] = round(loop_time(
             lambda d, sf, fr, _f=fn: _f(d, sf, fr),
             jnp.float32(0.0), n_iter=args.reps,

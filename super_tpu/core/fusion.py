@@ -385,18 +385,29 @@ def add_candidates(cfg: SuPerConfig, intr: Intrinsics, surfels: SurfelState,
 
 
 def fuse_frame(cfg: SuPerConfig, intr: Intrinsics, surfels: SurfelState,
-               graph: GraphState, frame: FrameData
+               graph: GraphState, frame: FrameData,
+               stop_after: str = None
                ) -> Tuple[SurfelState, jnp.ndarray, FusionDiag]:
     """Stages 1-4 of the fusion (everything except pruning).
 
     Returns (surfels, remap, diag) where ``remap[j] = i`` records surfel j
-    merged into i (identity elsewhere) for tracked-id fixup."""
+    merged into i (identity elsewhere) for tracked-id fixup.
+
+    ``stop_after`` ("proj" | "merge_new" | "merge_dup" | "unpack" |
+    "reweight") truncates the program after that stage and returns the live
+    intermediates instead -- a profiling probe (scripts/
+    microbench_fuse_bisect.py times cumulative prefixes of the REAL
+    program, so consecutive differences attribute in-situ stage costs that
+    stage-disabling deltas misattribute through DCE/fusion interactions).
+    Production callers leave it None."""
     p = cfg.image_pixels
     time = frame.time
     proj_id, overflow, sf_pix, sf_layer = build_projection_maps(
         cfg, intr, surfels)
     surfels = surfels._replace(active=surfels.active & ~overflow)
     layer_occupied = proj_id >= 0  # (L, P)
+    if stop_after == "proj":
+        return proj_id, overflow, sf_pix, sf_layer
 
     # --- stage 2: merge candidates into layer surfels ---------------------
     # The surfel fields live in ONE (F, N) bank across stages 2-3.  Stage 2
@@ -431,6 +442,8 @@ def fuse_frame(cfg: SuPerConfig, intr: Intrinsics, surfels: SurfelState,
         add_mask = frame.valid & ~consumed
     else:
         add_mask = frame.valid
+    if stop_after == "merge_new":
+        return bank, add_mask, sf_pix, sf_layer
 
     # Compact list of MULTI-LAYER pixels for the duplicate-merge stage
     # (layer-1 occupancy implies every deeper layer's pixels are covered):
@@ -495,6 +508,8 @@ def fuse_frame(cfg: SuPerConfig, intr: Intrinsics, surfels: SurfelState,
         remap = remap.at[dead].set(jnp.concatenate(merged_into),
                                    mode="drop")
         surfels = surfels._replace(active=active)
+    if stop_after == "merge_dup":
+        return bank, remap, surfels.active, add_mask
 
     # Unpack the merged bank back into the state once.  Outside semantic
     # mode the bank carries no seg_conf rows (the merges never change
@@ -506,9 +521,13 @@ def fuse_frame(cfg: SuPerConfig, intr: Intrinsics, surfels: SurfelState,
         confs=merged["confs"], seg=merged["seg"],
         seg_conf=merged["seg_conf"] if semantic else surfels.seg_conf,
         time_stamp=merged["time_stamp"])
+    if stop_after == "unpack":
+        return surfels, remap, add_mask
 
     # --- stage 3.5: refresh anchor weights (nodes.py:466-484) -------------
     surfels = recompute_surfel_weights(cfg, surfels, graph)
+    if stop_after == "reweight":
+        return surfels, remap, add_mask
 
     # --- stage 4: add unmatched candidates into free slots ----------------
     add_overflow = jnp.asarray(0, jnp.int32)
