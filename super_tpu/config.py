@@ -155,6 +155,12 @@ class CapacityConfig:
     # pair-merge loop is O(depth^2), so 4 is the TPU default (overflow
     # surfels are deleted exactly as the reference deletes beyond-16 ones).
     proj_map_depth: int = 4
+    # Capacity of the duplicate-merge multi-layer pixel list (fusion stage
+    # 3).  None -> max(image_pixels // 128, 1024).  Overflowing pixels keep
+    # their duplicates one more frame (dup_skipped counter); the converged
+    # 480p bench measures ZERO multi-layer pixels, so the list is static
+    # headroom, and its size is the stage's whole cost.
+    dup_pixel_cap: Optional[int] = None
     track_capacity: int = 20              # tracked GT points (reference: 20)
 
 

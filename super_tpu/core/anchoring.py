@@ -80,6 +80,44 @@ def update_graph_knn(cfg: SuPerConfig, graph: GraphState) -> GraphState:
     return graph._replace(knn_idx=idx.T, knn_w=w.T)
 
 
+# Optimal compare-exchange sorting networks for small K (pairs applied in
+# order; each swaps rows a, b when key_a > key_b).
+_SORT_NETS = {
+    2: [(0, 1)],
+    3: [(0, 1), (1, 2), (0, 1)],
+    4: [(0, 1), (2, 3), (0, 2), (1, 3), (1, 2)],
+    5: [(0, 1), (3, 4), (2, 4), (2, 3), (1, 4), (0, 3), (0, 2), (1, 3),
+        (1, 2)],
+    6: [(1, 2), (4, 5), (0, 2), (3, 5), (0, 1), (3, 4), (2, 5), (0, 3),
+        (1, 4), (2, 4), (1, 3), (2, 3)],
+}
+
+
+def _sort_anchors_by_id(idx, dists):
+    """Sort the K anchor rows by node id, carrying distances along.
+
+    A compare-exchange network in registers: jnp.take_along_axis pays the
+    ~1 ms fixed gather cost TWICE per call on TPU (idx + dists) while the
+    K <= 6 network is pure vector selects.  Exact vs argsort: top_k returns
+    distinct ids per query, so strict-greater exchanges give the unique
+    ascending order.
+    """
+    k = idx.shape[0]
+    if k not in _SORT_NETS:
+        order = jnp.argsort(idx, axis=0)
+        return (jnp.take_along_axis(idx, order, axis=0),
+                jnp.take_along_axis(dists, order, axis=0))
+    ids = [idx[i] for i in range(k)]
+    ds = [dists[i] for i in range(k)]
+    for a, b in _SORT_NETS[k]:
+        swap = ids[a] > ids[b]
+        ids[a], ids[b] = (jnp.where(swap, ids[b], ids[a]),
+                          jnp.where(swap, ids[a], ids[b]))
+        ds[a], ds[b] = (jnp.where(swap, ds[b], ds[a]),
+                        jnp.where(swap, ds[a], ds[b]))
+    return jnp.stack(ids), jnp.stack(ds)
+
+
 def anchor_points(
     cfg: SuPerConfig,
     graph: GraphState,
@@ -101,9 +139,7 @@ def anchor_points(
     # order-invariant, and order-free anchor tuples group ~4x better in the
     # JTJ tuple assembly (fewer distinct tuples = less padding + no
     # capacity overflow).
-    order = jnp.argsort(idx, axis=0)
-    idx = jnp.take_along_axis(idx, order, axis=0)
-    dists = jnp.take_along_axis(dists, order, axis=0)
+    idx, dists = _sort_anchors_by_id(idx, dists)
 
     radii = graph.radii[idx]               # (K, N) rank-1 gather per row
     finite = jnp.isfinite(dists)

@@ -228,10 +228,10 @@ def _candidate_view(cfg: SuPerConfig, intr: Intrinsics, frame: FrameData,
         is enabled, which makes confs depth-dependent);
       - validity: preprocess zeroes normals at invalid pixels and invalid
         depth is NaN, so every merge gate already fails without a valid
-        row (|n| = 0 fails the cosine test, NaN fails every comparison).
+        row (|n| = 0 fails the cosine test, NaN fails every comparison) --
+        no validity row is gathered.
 
-    Returns (fview dict, cand_ok) where cand_ok mirrors frame.valid at the
-    gathered pixel.
+    Returns the fview dict.
     """
     from super_tpu.core.preprocess import DIVTERM
 
@@ -247,7 +247,6 @@ def _candidate_view(cfg: SuPerConfig, intr: Intrinsics, frame: FrameData,
         rows.append(frame.seg.astype(fdt)[None])
     if semantic:
         rows.append(frame.seg_conf)
-    rows.append(frame.valid[None].astype(fdt))
     fv = gather_rows(jnp.concatenate(rows, axis=0), sf_pix)
     z, n, colors = fv[0], fv[1:4], fv[4:7]
     off = 7
@@ -259,7 +258,6 @@ def _candidate_view(cfg: SuPerConfig, intr: Intrinsics, frame: FrameData,
         off += 1
     nseg = frame.seg_conf.shape[0] if semantic else 0
     seg_conf = fv[off:off + nseg]
-    cand_ok = fv[-1] > 0.5
 
     # Pixel coordinates as f32 (exact: < 2^24), matching preprocess's
     # meshgrid values.
@@ -280,7 +278,7 @@ def _candidate_view(cfg: SuPerConfig, intr: Intrinsics, frame: FrameData,
         time_stamp=zseg,  # merged time_stamp = full(time): never read
         seg_conf=seg_conf,  # (0, N) outside semantic mode
     )
-    return fview, cand_ok
+    return fview
 
 
 class FusionDiag(NamedTuple):
@@ -429,10 +427,10 @@ def fuse_frame(cfg: SuPerConfig, intr: Intrinsics, surfels: SurfelState,
     depth_l = cfg.capacity.proj_map_depth
 
     if not cfg.disable_merging_new_surfels:
-        fview, cand_ok = _candidate_view(cfg, intr, frame, sf_pix)
+        fview = _candidate_view(cfg, intr, frame, sf_pix)
         sview = _unpack_bank(bank)                     # no gather: own column
         in_map = (sf_layer >= 0) & (sf_layer < depth_l)
-        gate_n = in_map & cand_ok & _merge_gate(cfg, sview, fview)
+        gate_n = in_map & _merge_gate(cfg, sview, fview)
         min_layer = jnp.full((p,), depth_l, jnp.int32).at[sf_pix].min(
             jnp.where(gate_n, sf_layer, depth_l))
         do = gate_n & (sf_layer == min_layer[sf_pix])
@@ -447,20 +445,14 @@ def fuse_frame(cfg: SuPerConfig, intr: Intrinsics, surfels: SurfelState,
 
     # Compact list of MULTI-LAYER pixels for the duplicate-merge stage
     # (layer-1 occupancy implies every deeper layer's pixels are covered):
-    # after frame 1, only a few percent of pixels carry more than one
-    # projected surfel, so the O(L^2) pair merges run on one small entry
-    # list instead of full images.
-    p8 = max(p // 32, 1024)
+    # at steady state almost no pixel carries more than one projected
+    # surfel (the converged 480p bench measures ZERO), so the O(L^2) pair
+    # merges run on one small entry list instead of full images, and the
+    # whole stage sits under a lax.cond that skips it when the list is
+    # empty (TPU executes only the taken branch; the skip saves the
+    # list-capacity-sized gathers/scatters that dominate the stage).
+    p8 = cfg.capacity.dup_pixel_cap or max(p // 128, 1024)
     occ1 = layer_occupied[1] if depth_l > 1 else jnp.zeros((p,), bool)
-    # r-th multi-layer pixel by searchsorted over the occupancy cumsum (a
-    # P-element rank scatter costs ~5 ns/elem on TPU; this is ~free).
-    cs = jnp.cumsum(occ1).astype(jnp.int32)
-    ranks1 = jnp.arange(1, p8 + 1, dtype=jnp.int32)
-    compact_pix = jnp.searchsorted(cs, ranks1).astype(jnp.int32)
-    compact_valid = ranks1 <= cs[-1]
-    compact_pix = jnp.where(compact_valid,
-                            jnp.clip(compact_pix, 0, p - 1), 0)
-    dup_skipped = jnp.maximum(cs[-1] - p8, 0)
 
     # --- stage 3: merge duplicate surfels across layers -------------------
     # One CLIQUE pass over the multi-layer pixel list: gather all L layer
@@ -470,43 +462,67 @@ def fuse_frame(cfg: SuPerConfig, intr: Intrinsics, surfels: SurfelState,
     # column back with ONE drop-scatter.  Identical results to the per-pair
     # gather/scatter walk at ~1/3 of its element-bound scatter cost.
     remap = jnp.arange(surfels.capacity, dtype=jnp.int32)
+    dup_skipped = jnp.asarray(0, jnp.int32)
     if not cfg.disable_merging_exist_surfels and depth_l > 1:
         n_cap = surfels.capacity
-        # ONE axis-1 take for all L layers (L separate row gathers each pay
-        # the ~1 ms fixed gather cost).
-        pid_all = jnp.take(proj_id, compact_pix, axis=1)           # (L, p8)
-        pid_c = [pid_all[l] for l in range(depth_l)]
-        sls = [jnp.clip(x, 0, n_cap - 1) for x in pid_c]
-        occ_c = [compact_valid & (x >= 0) for x in pid_c]
-        gath = gather_rows(bank, jnp.concatenate(sls))  # one (F, L*p8) gather
-        vals = [_unpack_bank(v) for v in jnp.split(gath, depth_l, axis=1)]
-        alive = list(occ_c)
-        merged_into = [jnp.zeros((p8,), jnp.int32) for _ in range(depth_l)]
-        changed = [jnp.zeros((p8,), bool) for _ in range(depth_l)]
-        for i in range(depth_l):
-            for j in range(i + 1, depth_l):
-                both = alive[i] & alive[j]
-                do = both & _merge_gate(cfg, vals[i], vals[j])
-                mv = _merged_values(cfg, vals[i], vals[j], time,
-                                    triple_new_color=False)
-                vals[i] = {k: jnp.where(do, mv[k], vals[i][k])
-                           for k in vals[i]}
-                changed[i] = changed[i] | do
-                alive[j] = alive[j] & ~do
-                merged_into[j] = jnp.where(do, sls[i], merged_into[j])
-                changed[j] = changed[j] | do
-        # Write back changed columns (unique targets: each surfel occupies
-        # one (pixel, layer) slot; untouched/invalid columns are dropped).
-        wcols = jnp.concatenate([jnp.where(ch & oc, sl, n_cap)
-                                 for ch, oc, sl in zip(changed, occ_c, sls)])
-        wvals = jnp.concatenate([_pack_vals(v) for v in vals], axis=1)
-        bank = bank.at[:, wcols].set(wvals, mode="drop")
-        dead = jnp.concatenate([
-            jnp.where(oc & ~al, sl, n_cap)
-            for oc, al, sl in zip(occ_c, alive, sls)])
-        active = surfels.active.at[dead].set(False, mode="drop")
-        remap = remap.at[dead].set(jnp.concatenate(merged_into),
-                                   mode="drop")
+        n_multi = jnp.sum(occ1).astype(jnp.int32)
+
+        def dup_branch(bank, active0, remap, proj_id, occ1):
+            # r-th multi-layer pixel by searchsorted over the occupancy
+            # cumsum (a P-element rank scatter costs ~5 ns/elem on TPU;
+            # this is ~free).
+            cs = jnp.cumsum(occ1).astype(jnp.int32)
+            ranks1 = jnp.arange(1, p8 + 1, dtype=jnp.int32)
+            compact_pix = jnp.searchsorted(cs, ranks1).astype(jnp.int32)
+            compact_valid = ranks1 <= cs[-1]
+            compact_pix = jnp.where(compact_valid,
+                                    jnp.clip(compact_pix, 0, p - 1), 0)
+            # ONE axis-1 take for all L layers (L separate row gathers
+            # each pay the ~1 ms fixed gather cost).
+            pid_all = jnp.take(proj_id, compact_pix, axis=1)       # (L, p8)
+            pid_c = [pid_all[l] for l in range(depth_l)]
+            sls = [jnp.clip(x, 0, n_cap - 1) for x in pid_c]
+            occ_c = [compact_valid & (x >= 0) for x in pid_c]
+            gath = gather_rows(bank, jnp.concatenate(sls))  # (F, L*p8)
+            vals = [_unpack_bank(v)
+                    for v in jnp.split(gath, depth_l, axis=1)]
+            alive = list(occ_c)
+            merged_into = [jnp.zeros((p8,), jnp.int32)
+                           for _ in range(depth_l)]
+            changed = [jnp.zeros((p8,), bool) for _ in range(depth_l)]
+            for i in range(depth_l):
+                for j in range(i + 1, depth_l):
+                    both = alive[i] & alive[j]
+                    do = both & _merge_gate(cfg, vals[i], vals[j])
+                    mv = _merged_values(cfg, vals[i], vals[j], time,
+                                        triple_new_color=False)
+                    vals[i] = {k: jnp.where(do, mv[k], vals[i][k])
+                               for k in vals[i]}
+                    changed[i] = changed[i] | do
+                    alive[j] = alive[j] & ~do
+                    merged_into[j] = jnp.where(do, sls[i], merged_into[j])
+                    changed[j] = changed[j] | do
+            # Write back changed columns (unique targets: each surfel
+            # occupies one (pixel, layer) slot; untouched/invalid columns
+            # are dropped).
+            wcols = jnp.concatenate([
+                jnp.where(ch & oc, sl, n_cap)
+                for ch, oc, sl in zip(changed, occ_c, sls)])
+            wvals = jnp.concatenate([_pack_vals(v) for v in vals], axis=1)
+            bank = bank.at[:, wcols].set(wvals, mode="drop")
+            dead = jnp.concatenate([
+                jnp.where(oc & ~al, sl, n_cap)
+                for oc, al, sl in zip(occ_c, alive, sls)])
+            active = active0.at[dead].set(False, mode="drop")
+            remap = remap.at[dead].set(jnp.concatenate(merged_into),
+                                       mode="drop")
+            return bank, active, remap
+
+        bank, active, remap = jax.lax.cond(
+            n_multi > 0, dup_branch,
+            lambda bank, active0, remap, *_: (bank, active0, remap),
+            bank, surfels.active, remap, proj_id, occ1)
+        dup_skipped = jnp.maximum(n_multi - p8, 0)
         surfels = surfels._replace(active=active)
     if stop_after == "merge_dup":
         return bank, remap, surfels.active, add_mask

@@ -85,7 +85,7 @@ def stage_floors(np_cap: int, p: int, j: int, t_cap: int, k: int = 4,
     # candidate gather + KNN matmul + packed column scatter.
     fuse = (sort3_ms(np_cap) + scatter_ms(np_cap)              # stage 1
             + gather_ms(np_cap, 13) + scatter_ms(np_cap)       # stage 2
-            + gather_ms(4 * (p // 32), 13)                     # stage 3
+            + gather_ms(4 * (p // 128), 13)                    # stage 3
             + gather_ms(k / 2 * np_cap, 2 * 4)                 # stage 3.5
             + gather_ms(a_cap, 14) + matmul_ms(a_cap * j * 8, "f32")
             + scatter_ms(26 * a_cap))                          # stage 4

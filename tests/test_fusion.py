@@ -181,7 +181,7 @@ def test_candidate_view_reconstruction_exact(tracked_state):
     _, _, seq, frames = tiny_scene(num_frames=2)
     frame = frames[1]
     _, _, sf_pix, sf_layer = build_projection_maps(cfg, intr, st.surfels)
-    fview, cand_ok = _candidate_view(cfg, intr, frame, sf_pix)
+    fview = _candidate_view(cfg, intr, frame, sf_pix)
 
     pix = np.asarray(sf_pix)
     live = np.asarray(sf_layer) >= 0  # surfels with a real pixel
@@ -191,8 +191,14 @@ def test_candidate_view_reconstruction_exact(tracked_state):
         got = np.asarray(fview[key])[..., live]
         want = np.asarray(ref)[..., pix[live]]
         np.testing.assert_array_equal(got, want, err_msg=key)
-    np.testing.assert_array_equal(np.asarray(cand_ok)[live],
-                                  np.asarray(frame.valid)[pix[live]])
+    # No validity row is gathered: every merge gate must already fail at
+    # invalid pixels (NaN points / zero normals from preprocess).
+    from super_tpu.core.fusion import _merge_gate
+    bad = live & ~np.asarray(frame.valid)[pix]
+    if bad.any():
+        import jax.numpy as jnp
+        gate = np.asarray(_merge_gate(cfg, fview, fview))
+        assert not gate[bad].any()
 
 
 def test_deferred_add_overflow_bounds_map_deficit():
