@@ -36,6 +36,17 @@ def main():
     ap.add_argument("--num_track", type=int, default=40)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--output_json", default=None)
+    ap.add_argument("--solver", default=None,
+                    help="override linear_solver (cholesky/pcg/pairs_fused/"
+                         "pcg_pallas); dense mesh steps (node cap > 512) "
+                         "also get the bench's dense assembly caps")
+    ap.add_argument("--pcg_iterations", type=int, default=None)
+    ap.add_argument("--gram_sum_dtype", default=None)
+    ap.add_argument("--semantic", action="store_true",
+                    help="Semantic-SuPer autograd config (soft-seg ICP + "
+                         "rot + face + bn_morph, Adam) on 2-class "
+                         "synthetic segs -- records the semantic accuracy "
+                         "band (associations flag is ignored)")
     args = ap.parse_args()
 
     import jax
@@ -53,6 +64,17 @@ def main():
     node_cap = max(64, -(-len(anchors) // 64) * 64)
     chunk = 32768
     surfel_cap = -(-int(1.25 * h * w) // chunk) * chunk
+    extra_cfg = {}
+    num_classes = 2
+    if args.semantic:
+        from super_tpu.config import LossConfig
+
+        extra_cfg = dict(
+            method="semantic-super", num_classes=num_classes, load_seg=True,
+            losses=LossConfig(
+                sf_point_plane=False, sf_soft_seg_point_plane=True,
+                mesh_arap=False, mesh_rot=True, mesh_face=True,
+                sf_bn_morph=True))
     base_cfg = SuPerConfig(
         height=h, width=w, mesh_step_size=args.mesh_step_size,
         capacity=CapacityConfig(
@@ -60,20 +82,46 @@ def main():
             edge_capacity=4 * node_cap, triangle_capacity=2 * node_cap,
             track_capacity=args.num_track,
         ),
+        **extra_cfg,
     )
+    solver_kw = {}
+    if args.semantic:
+        solver_kw.update(use_derived_gradient=False, optimizer="Adam",
+                         learning_rate=2e-4)
+    if args.solver:
+        solver_kw["linear_solver"] = args.solver
+    if args.pcg_iterations is not None:
+        solver_kw["pcg_iterations"] = args.pcg_iterations
+    if args.gram_sum_dtype:
+        solver_kw["gram_sum_dtype"] = args.gram_sum_dtype
+    if node_cap > 512:
+        solver_kw.setdefault("assembly_tuple_cap", 8 * node_cap)
+        solver_kw.setdefault("assembly_pair_cap", 16 * node_cap)
+    if solver_kw:
+        base_cfg = base_cfg.replace(solver=dataclasses.replace(
+            base_cfg.solver, **solver_kw))
     intr = default_intrinsics(h, w)
 
     out = {}
     for variant in args.variants.split(","):
-        seq = generate(args.num_frames, h, w, intr=intr,
-                       num_track=args.num_track, variant=variant)
-        for assoc in args.associations.split(","):
-            cfg = base_cfg.replace(solver=dataclasses.replace(
-                base_cfg.solver, association=assoc,
-                num_iterations=args.num_optimize_iterations))
+        gen_kw = dict(num_track=args.num_track, variant=variant)
+        if args.semantic:
+            gen_kw["num_classes"] = num_classes
+        seq = generate(args.num_frames, h, w, intr=intr, **gen_kw)
+        associations = (["autograd"] if args.semantic
+                        else args.associations.split(","))
+        for assoc in associations:
+            cfg = base_cfg
+            if not args.semantic:
+                cfg = base_cfg.replace(solver=dataclasses.replace(
+                    base_cfg.solver, association=assoc,
+                    num_iterations=args.num_optimize_iterations))
             pipe = SuPerPipeline(cfg, intr)
+            run_kw = {}
+            if args.semantic:
+                run_kw = dict(segs=seq.segs, seg_confs=seq.seg_confs)
             m = pipe.run(seq.depths, seq.colors, gt_xy=seq.gt_xy,
-                         gt_valid=seq.gt_valid)
+                         gt_valid=seq.gt_valid, **run_kw)
             # Per-frame error trajectory -> band (errors dict: frame -> (P,)
             # with -1 invalid).
             per_frame = []

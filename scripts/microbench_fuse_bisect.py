@@ -71,7 +71,7 @@ def main():
                 stop_after=stop))
         return fn
 
-    names = ["proj", "merge_new", "merge_dup", "unpack", "reweight", "full"]
+    names = ["proj", "merge23", "unpack", "reweight", "full"]
     if args.stages:
         names = args.stages.split(",")
     out = {}

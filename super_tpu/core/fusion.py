@@ -45,6 +45,32 @@ from super_tpu.core.state import (
 from super_tpu.geometry.camera import Intrinsics, project_points
 
 
+def _proj_sort_products(p, confs, valid, coords):
+    """The sort half of the projection maps: surfels ordered by (pixel,
+    conf desc, slot id) plus each sorted position's run layer.  No
+    scatters -- the (L, P) map and the per-slot layer array are built
+    lazily (only when a multi-layer pixel exists, fuse_frame).
+
+    Returns (sorted_coords, layer, order), all (N,)."""
+    n = confs.shape[0]
+    key_coords = jnp.where(valid, coords, p)  # invalid -> sentinel bucket
+
+    # Sort by (pixel, conf desc, slot id): within a pixel, higher
+    # confidence comes first (nodes.py:367-371), ties by slot id -- the
+    # exact order of the stable two-pass argsort, in one non-stable sort.
+    ids = jnp.arange(n, dtype=jnp.int32)
+    sorted_coords, _, order = jax.lax.sort(
+        (key_coords, -confs, ids), num_keys=3, is_stable=False)
+
+    # Layer = position within the pixel's run.
+    iota = jnp.arange(n, dtype=jnp.int32)
+    new_run = jnp.concatenate([
+        jnp.ones((1,), bool), sorted_coords[1:] != sorted_coords[:-1]])
+    first_idx = jax.lax.cummax(jnp.where(new_run, iota, 0))
+    layer = iota - first_idx
+    return sorted_coords, layer, order
+
+
 def build_projection_maps(cfg: SuPerConfig, intr: Intrinsics,
                           surfels: SurfelState):
     """Per-pixel surfel layers.
@@ -104,21 +130,8 @@ def build_projection_maps(cfg: SuPerConfig, intr: Intrinsics,
         overflow = alive  # valid coords but never won a layer
         return proj_id, overflow, pix, sf_layer
 
-    key_coords = jnp.where(valid, coords, p)  # invalid -> sentinel bucket
-
-    # Sort by (pixel, conf desc, slot id): within a pixel, higher
-    # confidence comes first (nodes.py:367-371), ties by slot id -- the
-    # exact order of the stable two-pass argsort, in one non-stable sort.
-    ids = jnp.arange(n, dtype=jnp.int32)
-    sorted_coords, _, order = jax.lax.sort(
-        (key_coords, -surfels.confs, ids), num_keys=3, is_stable=False)
-
-    # Layer = position within the pixel's run.
-    iota = jnp.arange(n, dtype=jnp.int32)
-    new_run = jnp.concatenate([
-        jnp.ones((1,), bool), sorted_coords[1:] != sorted_coords[:-1]])
-    first_idx = jax.lax.cummax(jnp.where(new_run, iota, 0))
-    layer = iota - first_idx
+    sorted_coords, layer, order = _proj_sort_products(
+        p, surfels.confs, valid, coords)
 
     in_map = (sorted_coords < p) & (layer < depth_l)
     flat_idx = jnp.where(in_map, layer * p + sorted_coords, depth_l * p)
@@ -391,87 +404,105 @@ def fuse_frame(cfg: SuPerConfig, intr: Intrinsics, surfels: SurfelState,
     Returns (surfels, remap, diag) where ``remap[j] = i`` records surfel j
     merged into i (identity elsewhere) for tracked-id fixup.
 
-    ``stop_after`` ("proj" | "merge_new" | "merge_dup" | "unpack" |
-    "reweight") truncates the program after that stage and returns the live
+    ``stop_after`` ("proj" | "merge23" | "unpack" | "reweight") truncates the program after that stage and returns the live
     intermediates instead -- a profiling probe (scripts/
     microbench_fuse_bisect.py times cumulative prefixes of the REAL
     program, so consecutive differences attribute in-situ stage costs that
     stage-disabling deltas misattribute through DCE/fusion interactions).
     Production callers leave it None."""
+    h, w = cfg.height, cfg.width
     p = cfg.image_pixels
     time = frame.time
-    proj_id, overflow, sf_pix, sf_layer = build_projection_maps(
-        cfg, intr, surfels)
-    surfels = surfels._replace(active=surfels.active & ~overflow)
-    layer_occupied = proj_id >= 0  # (L, P)
-    if stop_after == "proj":
-        return proj_id, overflow, sf_pix, sf_layer
-
-    # --- stage 2: merge candidates into layer surfels ---------------------
-    # The surfel fields live in ONE (F, N) bank across stages 2-3.  Stage 2
-    # runs SURFEL-side in one pass: every in-map surfel gates against the
-    # candidate at its own pixel (one minor-axis gather), a scatter-min over
-    # layers picks the lowest gating layer per pixel -- exactly the
-    # sequential layer-walk consumption order of nodes.py:409-422 (a
-    # candidate merges into the first layer that accepts it; surfels occupy
-    # distinct (pixel, layer) slots so no later stage can observe an earlier
-    # merge) -- and the bank updates by SELECT, not scatter (scatters cost
-    # ~5 ns/element on TPU; the full-pixel layer-0 bank scatter alone was
-    # ~25 ms at 480p).
+    depth_l = cfg.capacity.proj_map_depth
+    n_cap = surfels.capacity
+    p8 = cfg.capacity.dup_pixel_cap or max(p // 128, 1024)
     semantic = cfg.method == "semantic-super"
+    merge_new = not cfg.disable_merging_new_surfels
+    merge_dup = not cfg.disable_merging_exist_surfels and depth_l > 1
+    lazy = cfg.proj_map_mode == "sort"
+
+    # --- stage 1: projection ordering -------------------------------------
+    # The converged map has (almost) no pixel with more than one projected
+    # surfel, and then the WHOLE layer machinery is unnecessary: no surfel
+    # overflows, every gating surfel is the sole candidate-consumer at its
+    # pixel, and no duplicate pair exists.  So the sort path defers every
+    # layer-indexed structure -- the (L, P) map scatter, the per-slot layer
+    # scatter, the min-layer winner scatter/gather, the duplicate cliques
+    # (~9 ms of element-bound scatters at 480p) -- into a lax.cond branch
+    # taken only when a multi-layer pixel exists (detected from the sorted
+    # runs for free); TPU executes only the taken branch.  The "scatter"
+    # debug mode keeps the eager layer maps.
+    if lazy:
+        _, _, coords, in_bounds = project_points(surfels.points, intr, h, w)
+        valid = in_bounds & surfels.active
+        sf_pix = jnp.where(valid, coords, 0).astype(jnp.int32)
+        sorted_coords, layer, order = _proj_sort_products(
+            p, surfels.confs, valid, coords)
+        # Any pixel with >= 2 in-map surfels shows up as a layer-1 run
+        # position (and any overflow implies such a pixel).
+        n_multi = jnp.sum((layer == 1) & (sorted_coords < p)).astype(
+            jnp.int32)
+        if stop_after == "proj":
+            return sorted_coords, layer, order, sf_pix, n_multi
+    else:
+        proj_id_e, overflow_e, sf_pix, sf_layer_e = build_projection_maps(
+            cfg, intr, surfels)
+        if stop_after == "proj":
+            return proj_id_e, overflow_e, sf_pix, sf_layer_e
+
+    # --- stage 2 (shared half): candidate gather + gate + merge values ----
+    # The surfel fields live in ONE (F, N) bank across stages 2-3.  Stage 2
+    # runs SURFEL-side in one pass: every surfel gates against the candidate
+    # at its own pixel (one minor-axis gather); the bank updates by SELECT,
+    # not scatter (scatters cost ~5 ns/element on TPU; the full-pixel
+    # layer-0 bank scatter alone was ~25 ms at 480p).  Winner selection
+    # (nodes.py:409-422 layer-walk order) is branch-dependent below.
     bank_segc = surfels.seg_conf if semantic else \
         jnp.zeros((0,) + surfels.radii.shape, surfels.radii.dtype)
     bank = _pack_bank(surfels.points, surfels.norms, surfels.colors,
                       surfels.radii, surfels.confs, surfels.seg,
                       bank_segc, time_stamp=surfels.time_stamp)
-    depth_l = cfg.capacity.proj_map_depth
-
-    if not cfg.disable_merging_new_surfels:
+    gate_raw = vals_packed = None
+    if merge_new:
         fview = _candidate_view(cfg, intr, frame, sf_pix)
         sview = _unpack_bank(bank)                     # no gather: own column
-        in_map = (sf_layer >= 0) & (sf_layer < depth_l)
-        gate_n = in_map & _merge_gate(cfg, sview, fview)
-        min_layer = jnp.full((p,), depth_l, jnp.int32).at[sf_pix].min(
-            jnp.where(gate_n, sf_layer, depth_l))
-        do = gate_n & (sf_layer == min_layer[sf_pix])
-        vals = _merged_values(cfg, sview, fview, time, triple_new_color=True)
-        bank = jnp.where(do[None], _pack_vals(vals), bank)
-        consumed = min_layer < depth_l                 # (P,)
-        add_mask = frame.valid & ~consumed
-    else:
-        add_mask = frame.valid
-    if stop_after == "merge_new":
-        return bank, add_mask, sf_pix, sf_layer
+        gate_raw = _merge_gate(cfg, sview, fview)
+        vals_packed = _pack_vals(_merged_values(cfg, sview, fview, time,
+                                                triple_new_color=True))
 
-    # Compact list of MULTI-LAYER pixels for the duplicate-merge stage
-    # (layer-1 occupancy implies every deeper layer's pixels are covered):
-    # at steady state almost no pixel carries more than one projected
-    # surfel (the converged 480p bench measures ZERO), so the O(L^2) pair
-    # merges run on one small entry list instead of full images, and the
-    # whole stage sits under a lax.cond that skips it when the list is
-    # empty (TPU executes only the taken branch; the skip saves the
-    # list-capacity-sized gathers/scatters that dominate the stage).
-    p8 = cfg.capacity.dup_pixel_cap or max(p // 128, 1024)
-    occ1 = layer_occupied[1] if depth_l > 1 else jnp.zeros((p,), bool)
-
-    # --- stage 3: merge duplicate surfels across layers -------------------
-    # One CLIQUE pass over the multi-layer pixel list: gather all L layer
-    # surfels of each pixel once, run the (i, j) pair merges in registers in
-    # the reference's exact sequential order (nodes.py:425-460; merged
-    # values of layer i feed later pairs), then write every surviving
-    # column back with ONE drop-scatter.  Identical results to the per-pair
-    # gather/scatter walk at ~1/3 of its element-bound scatter cost.
-    remap = jnp.arange(surfels.capacity, dtype=jnp.int32)
-    dup_skipped = jnp.asarray(0, jnp.int32)
-    if not cfg.disable_merging_exist_surfels and depth_l > 1:
-        n_cap = surfels.capacity
-        n_multi = jnp.sum(occ1).astype(jnp.int32)
-
-        def dup_branch(bank, active0, remap, proj_id, occ1):
-            # r-th multi-layer pixel by searchsorted over the occupancy
-            # cumsum (a P-element rank scatter costs ~5 ns/elem on TPU;
-            # this is ~free).
+    def _stage23_slow(bank, active0, proj_id, sf_layer):
+        """Full layer semantics: overflow deletion, min-layer candidate
+        winners (the sequential layer-walk consumption order of
+        nodes.py:409-422: a candidate merges into the first layer that
+        accepts it; surfels occupy distinct (pixel, layer) slots so no
+        later stage observes an earlier merge), then the duplicate-merge
+        cliques (stage 3)."""
+        remap = jnp.arange(n_cap, dtype=jnp.int32)
+        consumed = jnp.zeros((p,), bool)
+        overflow = sf_layer == depth_l
+        active0 = active0 & ~overflow
+        if merge_new:
+            in_map = (sf_layer >= 0) & (sf_layer < depth_l)
+            gate_n = in_map & gate_raw
+            min_layer = jnp.full((p,), depth_l, jnp.int32).at[sf_pix].min(
+                jnp.where(gate_n, sf_layer, depth_l))
+            do = gate_n & (sf_layer == min_layer[sf_pix])
+            bank = jnp.where(do[None], vals_packed, bank)
+            consumed = min_layer < depth_l             # (P,)
+        dup_skipped = jnp.asarray(0, jnp.int32)
+        if merge_dup:
+            # --- stage 3: merge duplicate surfels across layers -----------
+            # One CLIQUE pass over the multi-layer pixel list: gather all L
+            # layer surfels of each pixel once, run the (i, j) pair merges
+            # in registers in the reference's exact sequential order
+            # (nodes.py:425-460; merged values of layer i feed later
+            # pairs), then write every surviving column back with ONE
+            # drop-scatter.  r-th multi-layer pixel by searchsorted over
+            # the occupancy cumsum (a P-element rank scatter costs
+            # ~5 ns/elem; this is ~free).
+            occ1 = proj_id[1] >= 0
             cs = jnp.cumsum(occ1).astype(jnp.int32)
+            dup_skipped = jnp.maximum(cs[-1] - p8, 0)
             ranks1 = jnp.arange(1, p8 + 1, dtype=jnp.int32)
             compact_pix = jnp.searchsorted(cs, ranks1).astype(jnp.int32)
             compact_valid = ranks1 <= cs[-1]
@@ -513,18 +544,53 @@ def fuse_frame(cfg: SuPerConfig, intr: Intrinsics, surfels: SurfelState,
             dead = jnp.concatenate([
                 jnp.where(oc & ~al, sl, n_cap)
                 for oc, al, sl in zip(occ_c, alive, sls)])
-            active = active0.at[dead].set(False, mode="drop")
+            active0 = active0.at[dead].set(False, mode="drop")
             remap = remap.at[dead].set(jnp.concatenate(merged_into),
                                        mode="drop")
-            return bank, active, remap
+        return (bank, active0, remap, consumed,
+                jnp.sum(overflow).astype(jnp.int32), dup_skipped)
 
-        bank, active, remap = jax.lax.cond(
-            n_multi > 0, dup_branch,
-            lambda bank, active0, remap, *_: (bank, active0, remap),
-            bank, surfels.active, remap, proj_id, occ1)
-        dup_skipped = jnp.maximum(n_multi - p8, 0)
-        surfels = surfels._replace(active=active)
-    if stop_after == "merge_dup":
+    zero_i = jnp.asarray(0, jnp.int32)
+    if lazy:
+        def _slow_lazy(bank, active0):
+            # Materialize the layer structures only here (two ~N-element
+            # scatters), from the already-sorted runs.
+            in_map_s = (sorted_coords < p) & (layer < depth_l)
+            flat_idx = jnp.where(in_map_s, layer * p + sorted_coords,
+                                 depth_l * p)
+            proj_id = jnp.full((depth_l * p,), -1, dtype=jnp.int32).at[
+                flat_idx].set(order.astype(jnp.int32), mode="drop")
+            proj_id = proj_id.reshape(depth_l, p)
+            layer_sorted = jnp.where(sorted_coords < p,
+                                     jnp.minimum(layer, depth_l), -1)
+            sf_layer = jnp.zeros((n_cap,), jnp.int32).at[order].set(
+                layer_sorted.astype(jnp.int32))
+            return _stage23_slow(bank, active0, proj_id, sf_layer)
+
+        def _fast(bank, active0):
+            # Single-layer world: nobody overflows, every gating surfel is
+            # the unique in-map surfel at its pixel (winner by default),
+            # no duplicate pairs.
+            remap = jnp.arange(n_cap, dtype=jnp.int32)
+            consumed = jnp.zeros((p,), bool)
+            if merge_new:
+                do = valid & gate_raw
+                bank = jnp.where(do[None], vals_packed, bank)
+                # Unique targets (<= 1 in-map surfel per pixel).
+                consumed = consumed.at[jnp.where(do, sf_pix, p)].set(
+                    True, mode="drop")
+            return bank, active0, remap, consumed, zero_i, zero_i
+
+        (bank, active, remap, consumed, n_overflow,
+         dup_skipped) = jax.lax.cond(n_multi > 0, _slow_lazy, _fast,
+                                     bank, surfels.active)
+    else:
+        (bank, active, remap, consumed, n_overflow,
+         dup_skipped) = _stage23_slow(bank, surfels.active, proj_id_e,
+                                      sf_layer_e)
+    surfels = surfels._replace(active=active)
+    add_mask = (frame.valid & ~consumed) if merge_new else frame.valid
+    if stop_after == "merge23":
         return bank, remap, surfels.active, add_mask
 
     # Unpack the merged bank back into the state once.  Outside semantic
@@ -544,6 +610,13 @@ def fuse_frame(cfg: SuPerConfig, intr: Intrinsics, surfels: SurfelState,
     surfels = recompute_surfel_weights(cfg, surfels, graph)
     if stop_after == "reweight":
         return surfels, remap, add_mask
+    if not cfg.disable_adding_new_surfels:
+        # The reweighted state has TWO consumers (the output state and
+        # stage 4's packed dst bank): without a barrier XLA duplicates the
+        # producing fusions -- incl. the pair-packed reweight gather --
+        # into each consumer (measured: stage 4 in-situ 13.3 ms vs 6.0
+        # standalone; the CLAUDE.md gather-duplication hazard).
+        surfels = jax.lax.optimization_barrier(surfels)
 
     # --- stage 4: add unmatched candidates into free slots ----------------
     add_overflow = jnp.asarray(0, jnp.int32)
@@ -553,7 +626,7 @@ def fuse_frame(cfg: SuPerConfig, intr: Intrinsics, surfels: SurfelState,
             cfg, intr, surfels, graph, frame, add_mask, time)
 
     diag = FusionDiag(
-        proj_overflow=jnp.sum(overflow).astype(jnp.int32),
+        proj_overflow=n_overflow,
         add_overflow=add_overflow,
         free_exhausted=free_exhausted,
         dup_skipped=dup_skipped,

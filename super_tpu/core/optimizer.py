@@ -54,14 +54,29 @@ class AutogradContext(NamedTuple):
 def prepare_autograd(cfg: SuPerConfig, surfels: SurfelState,
                      graph: GraphState, frame: FrameData,
                      flow=None, intr=None) -> AutogradContext:
-    import dataclasses
-
     from super_tpu.core.losses import prepare_lm
     from super_tpu.core.semantic import SemanticExtras, build_semantic_extras
+    from super_tpu.core.state import gather_rows
 
-    cfg_s = cfg.replace(solver=dataclasses.replace(cfg.solver,
-                                                   assembly_mode="scatter"))
-    base = prepare_lm(cfg_s, surfels, graph, frame)
+    # Tuple layout (the LM path's): the per-iteration warp then fetches
+    # deform by TUPLE broadcast instead of a per-surfel (K, Np)-index
+    # gather, whose autograd VJP is a ~1.6M-update conflict scatter-add
+    # into (J, 7) -- the round-4 semantic path's dominant cost (~half the
+    # frame).  The tuple mode permutes the surfel dim into padded
+    # tuple-sorted slots, so the per-surfel extras permute along with it.
+    base = prepare_lm(cfg, surfels, graph, frame)
+    sf_seg, sf_seg_conf, sf_colors = (surfels.seg, surfels.seg_conf,
+                                      surfels.colors)
+    if base.layout is not None:
+        fdt = surfels.points.dtype
+        ebank = jnp.concatenate([
+            sf_seg.astype(fdt)[None], sf_seg_conf, sf_colors])
+        packed = gather_rows(gather_rows(ebank, base.layout.sort_perm),
+                             base.layout.src_pos)
+        c = sf_seg_conf.shape[0]
+        sf_seg = packed[0].astype(jnp.int32)
+        sf_seg_conf = packed[1:1 + c]
+        sf_colors = packed[1 + c:4 + c]
     losses = cfg.losses
     extras = None
     if losses.sf_bn_morph or losses.render_loss or losses.sf_corr:
@@ -69,16 +84,17 @@ def prepare_autograd(cfg: SuPerConfig, surfels: SurfelState,
         src_uv = None
         if flow is not None:
             # Per-frame flow: anchor the corr match at the source
-            # (pre-deformation) projections (semantic.corr_loss deviation 2).
+            # (pre-deformation) projections (semantic.corr_loss deviation
+            # 2).  base.sf_points is the (possibly permuted) surfel order
+            # every per-surfel array of this context lives in.
             from super_tpu.geometry.camera import project_points
 
-            v0, u0, _, _ = project_points(surfels.points, intr, h, w)
+            v0, u0, _, _ = project_points(base.sf_points, intr, h, w)
             src_uv = jnp.stack([u0, v0])
         extras = build_semantic_extras(
             cfg, frame.seg.reshape(h, w),
             frame.seg_conf.reshape(-1, h, w),
             frame.color_image, flow=flow, src_uv=src_uv)
-    losses = cfg.losses
     bank_zx = None
     if losses.sf_hard_seg_point_plane or losses.sf_soft_seg_point_plane:
         from super_tpu.ops.bilinear import build_corner_bank_zx
@@ -89,9 +105,9 @@ def prepare_autograd(cfg: SuPerConfig, surfels: SurfelState,
             frame.index_map(h, w))
     return AutogradContext(
         base=base,
-        sf_seg=surfels.seg,
-        sf_seg_conf=surfels.seg_conf,
-        sf_colors=surfels.colors,
+        sf_seg=sf_seg,
+        sf_seg_conf=sf_seg_conf,
+        sf_colors=sf_colors,
         trg_seg_conf=frame.seg_conf,
         num_active_nodes=jnp.maximum(graph.num_active, 1),
         extras=extras,
@@ -101,14 +117,31 @@ def prepare_autograd(cfg: SuPerConfig, surfels: SurfelState,
 
 def _warp_all(cfg, ctx: LMContext, deform):
     """deform_source parity (deform_mesh.py:198-230): per-node blend warp
-    then the full global transform.  Returns warped surfels (Np, 3) in
-    chunked row-major pieces concatenated feature-major (3, Np)."""
+    then the full global transform.  Returns warped surfels feature-major
+    (3, Np), in ctx's surfel order.
+
+    Tuple layout (default): deform is fetched once per anchor tuple and
+    broadcast per G-block (losses._beta_fm_of) -- under ``jax.grad`` the
+    broadcast's VJP is a dense per-block reduction plus a tiny
+    (T, K, 7)-index scatter, replacing the per-surfel gather whose VJP is
+    a ~1.6M-update conflict scatter-add into (J, 7) (~55 ms/iteration at
+    480p by the measured ~5 ns/element scatter cost)."""
+    from super_tpu.core.losses import _beta_fm_of, _geom_of, _warp_fm_batched
+
     node_beta = deform[:-1]
     t_g = deform[-1]
     chunk = _cost_chunk_size(cfg, ctx)
     xs, nc = _chunk_xs(ctx, chunk)
+    beta_t = (node_beta[ctx.layout.tuple_nodes]
+              if ctx.layout is not None else None)
 
     def one(xs_elem):
+        if beta_t is not None:
+            mask_c, w_fm, knn_fm, diff_fm = _geom_of(ctx, xs_elem)
+            beta_kfm = _beta_fm_of(beta_t, xs_elem)
+            tp = _warp_fm_batched(w_fm, knn_fm, diff_fm, beta_kfm)  # (3, C)
+            warped = transform_quat_t(tp.T, t_g[0:4]) + t_g[4:7]
+            return warped.T
         cv = _chunk_view(xs_elem)
         warped = blend_warp(cv.diff, cv.knn, node_beta[cv.knn_idx], cv.knn_w)
         warped = transform_quat_t(warped, t_g[0:4]) + t_g[4:7]

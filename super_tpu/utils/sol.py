@@ -79,13 +79,14 @@ def stage_floors(np_cap: int, p: int, j: int, t_cap: int, k: int = 4,
     pair_cap = 8192  # assembly_pair_cap default
     solve = stream_ms(2 * 64 * pair_cap * f) + 0.2
 
-    # fusion (core/fusion.py): 3-key sort + proj-map scatter (stage 1),
-    # stage-2 13-row frame gather + scatter-min + bank select, stage-3
-    # clique gather, stage-3.5 pair-packed reweight gather, stage-4
-    # candidate gather + KNN matmul + packed column scatter.
-    fuse = (sort3_ms(np_cap) + scatter_ms(np_cap)              # stage 1
-            + gather_ms(np_cap, 13) + scatter_ms(np_cap)       # stage 2
-            + gather_ms(4 * (p // 128), 13)                    # stage 3
+    # fusion (core/fusion.py), steady-state fast path: 3-key sort (stage 1;
+    # the layer-map scatters are lazy, built only when a multi-layer pixel
+    # exists), stage-2 9-row frame gather + consumed-pixel scatter + bank
+    # select, stage-3 skipped by the same cond, stage-3.5 pair-packed
+    # reweight gather, stage-4 candidate gather + KNN matmul + packed
+    # column scatter.
+    fuse = (sort3_ms(np_cap)                                   # stage 1
+            + gather_ms(np_cap, 9) + scatter_ms(np_cap)        # stage 2
             + gather_ms(k / 2 * np_cap, 2 * 4)                 # stage 3.5
             + gather_ms(a_cap, 14) + matmul_ms(a_cap * j * 8, "f32")
             + scatter_ms(26 * a_cap))                          # stage 4

@@ -133,7 +133,9 @@ def test_sf_corr_recovers_lateral_motion():
         ctx = prepare_autograd(cfg, st.surfels, st.graph, f1)
         warped = _warp_all(cfg, ctx.base, deform)
         mask = np.asarray(ctx.base.sf_mask)
-        dx = np.asarray(warped[0] - st.surfels.points[0])[mask]
+        # ctx.base.sf_points is in the ctx's (tuple-permuted) surfel
+        # order, same as warped.
+        dx = np.asarray(warped[0] - ctx.base.sf_points[0])[mask]
         return np.asarray(deform), float(np.mean(dx))
 
     deform_corr, dx_corr = fit(True)
