@@ -133,6 +133,10 @@ class SolverConfig:
     #   "per_frame": projective association once per frame (classical
     #     projective ICP a la KinectFusion); iterations then re-linearize
     #     only the warp.  ~10x fewer gathers, slightly different trajectory.
+    #   "per_iteration_frozen": re-associate at every candidate but keep
+    #     the frozen-target Jacobian (no chain through the bilinear
+    #     weights) -- the experiment isolating which half of the
+    #     per_iteration accuracy gap is the sampling chain.
     association: str = "per_iteration"
 
 

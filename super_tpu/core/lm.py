@@ -267,7 +267,15 @@ def lm_solve(cfg: SuPerConfig, ctx: LMContext, intr: Intrinsics,
 
     # Frozen projective association (classical ICP mode): one sampling pass
     # at the identity warp; iterations re-linearize only the warp field.
+    # "per_iteration_frozen" RE-associates at every candidate but keeps the
+    # frozen-target Jacobian (no chain through the bilinear weights) -- the
+    # experiment splitting the reference-semantics accuracy gap: if the
+    # moving mode's extra error comes from the target-chasing sampling
+    # chain, this mode should match per_frame; if from re-association
+    # itself, it should match per_iteration (README Status).
     assoc = None
+    per_it_frozen = (cfg.solver.association == "per_iteration_frozen"
+                     and cfg.losses.sf_point_plane)
     if cfg.solver.association == "per_frame" and cfg.losses.sf_point_plane:
         assoc = associate(cfg, ctx, beta0, intr, identity=True)
 
@@ -316,8 +324,9 @@ def lm_solve(cfg: SuPerConfig, ctx: LMContext, intr: Intrinsics,
         return x * inv_d
 
     def assemble(beta):
+        a = associate(cfg, ctx, beta, intr) if per_it_frozen else assoc
         return assemble_normal_equations(cfg, ctx, beta, intr,
-                                         axis_name=axis_name, assoc=assoc,
+                                         axis_name=axis_name, assoc=a,
                                          with_cost=True)
 
     def damped(jtj, u):
