@@ -390,19 +390,30 @@ def measure_sol(args, reps: int = 40) -> dict:
         return accum
 
     def bump(tree, d):
-        # Perturb float leaves by a data-dependent zero so XLA cannot
-        # hoist the stage out of the timing loop (see breakdown.py).
-        return jax.tree.map(
-            lambda a: a + d.astype(a.dtype) * 0
-            if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating)
-            else a, tree)
+        # Perturb EVERY leaf by a data-dependent zero so XLA cannot hoist
+        # the stage out of the timing loop (breakdown.py inject; float-only
+        # perturbation lets int/bool-keyed work -- e.g. the tuple-layout
+        # build off knn_idx/active -- hoist, under-measuring prepare).
+        zi = (d * 0.0).astype(jnp.int32)
+
+        def b(a):
+            if not hasattr(a, "dtype"):
+                return a
+            if jnp.issubdtype(a.dtype, jnp.floating):
+                return a + d.astype(a.dtype) * 0
+            if a.dtype == jnp.bool_:
+                return a ^ (zi != 0)
+            if jnp.issubdtype(a.dtype, jnp.integer):
+                return a + zi.astype(a.dtype)
+            return a
+        return jax.tree.map(b, tree)
 
     # Operands ride as loop_time ARGS (jit arguments), not closures: the
     # remote-compile tunnel rejects >~150 MB of jit constants, and ctx now
     # carries the hoisted one-hot operands (TupleLayout).
     stages = {
         "prepare": (lambda d, s, f: probe_sum(prepare_lm(
-            sol_cfg, s.surfels, s.graph, bump(f, d))),
+            sol_cfg, bump(s, d).surfels, s.graph, bump(f, d))),
             (state0, frames[1])),
         # identity association ignores beta -- perturb the ctx itself.
         "assoc": (lambda d, c: probe_sum(associate(
@@ -414,9 +425,8 @@ def measure_sol(args, reps: int = 40) -> dict:
             sol_cfg, lo, a + 0 * d, r, jnp.float32(10.0),
             j_cap)), (ctx.layout, acc, jtr)),
         "fuse": (lambda d, s, g, f: probe_sum(fusion_mod.fuse_frame(
-            sol_cfg, intr,
-            s._replace(points=s.points + 0 * d),
-            g, f)), (state0.surfels, state0.graph, frames[1])),
+            sol_cfg, intr, bump(s, d), g, bump(f, d))),
+            (state0.surfels, state0.graph, frames[1])),
     }
     achieved = {}
     for name, (fn, ops) in stages.items():
