@@ -25,6 +25,8 @@ def main():
     ap.add_argument("--stages", default=None)
     ap.add_argument("--chunk", type=int, default=None,
                     help="override assembly_chunk")
+    ap.add_argument("--jac_dtype", default=None,
+                    help="override solver.jac_dtype (library 'full' stage)")
     args = ap.parse_args()
 
     import dataclasses
@@ -46,6 +48,9 @@ def main():
     if args.chunk:
         cfg = cfg.replace(solver=dataclasses.replace(
             cfg.solver, assembly_chunk=args.chunk))
+    if args.jac_dtype:
+        cfg = cfg.replace(solver=dataclasses.replace(
+            cfg.solver, jac_dtype=args.jac_dtype))
     ctx = jax.jit(lambda s: L.prepare_lm(cfg, s.surfels, s.graph,
                                          frames[1]))(state0)
     j_cap = cfg.capacity.node_capacity
@@ -66,9 +71,32 @@ def main():
             axs = L._assoc_chunk_xs(a, chunk)
             beta_t = beta[layout.tuple_nodes]
             zero = jnp.asarray(0.0, beta.dtype)
+            bpc_ = chunk // g_per
 
             def jac_chunk(xs_elem, assoc_elem):
+                # Body prefixes (geom/warp/rows): truncated versions of
+                # frozen_chunk_partial_fm producing a placeholder part so
+                # the fori_loop carry keeps its shape.
                 geom = L._geom_of(c, xs_elem)
+                if upto in ("geom", "warp", "rows"):
+                    mask_c, w_fm, knn_fm, diff_fm = geom
+                    cdim = mask_c.shape[-1]
+                    part0 = jnp.zeros((bpc_, 28 * 29), beta.dtype)
+                    if upto == "geom":
+                        probe_v = jnp.sum(diff_fm) + jnp.sum(w_fm)
+                        return part0.at[0, 0].add(probe_v), probe_v
+                    beta_kfm = L._beta_fm_of(beta_t, xs_elem)
+                    tp = L._warp_fm_batched(w_fm, knn_fm, diff_fm, beta_kfm)
+                    if upto == "warp":
+                        probe_v = jnp.sum(tp)
+                        return part0.at[0, 0].add(probe_v), probe_v
+                    o, nrm, am = assoc_elem
+                    rows = L._rows_fm_batched(
+                        jnp.broadcast_to(nrm, (3, cdim)), w_fm, diff_fm,
+                        beta_kfm)
+                    r = weight * jnp.sum(nrm * (tp - o), 0)
+                    probe_v = jnp.sum(rows[::5, ::97]) + jnp.sum(r[::97])
+                    return part0.at[0, 0].add(probe_v), probe_v
                 beta_kfm = L._beta_fm_of(beta_t, xs_elem)
                 o, nrm, am = assoc_elem
                 return L.frozen_chunk_partial_fm(geom, o, nrm, am, beta_kfm,
@@ -98,7 +126,7 @@ def main():
             cost, parts = jax.lax.fori_loop(0, nc_live, fbody,
                                             (zero, parts0))
             partial = parts.reshape(-1, 28 * 29)
-            if upto == "jac":
+            if upto in ("geom", "warp", "rows", "jac"):
                 return cost + jnp.sum(partial[::97])
             acc = assembly.segment_sum_matmul(
                 partial, layout.block_tuple, t_cap,
@@ -127,7 +155,8 @@ def main():
                                           assoc=a, with_cost=True)
         return out[2] + jnp.sum(out[0]) + jnp.sum(out[1])
 
-    names = ["jac", "segsum1", "triu", "pairsum", "jtr", "full"]
+    names = ["geom", "warp", "rows", "jac", "segsum1", "triu",
+             "pairsum", "jtr", "full"]
     if args.stages:
         names = args.stages.split(",")
     out = {}

@@ -126,6 +126,11 @@ class SolverConfig:
     # ~3x cheaper; noise at the same order the Gram einsums already carry
     # under default MXU precision -- accumulation stays f32).
     gram_sum_dtype: str = "f32"
+    # Dtype of the data-term Jacobian ROW math + Gram einsum in the frozen
+    # (per_frame) assembly: "f32" | "bf16" (residuals/cost stay f32).
+    # Measured NEGATIVE at 480p/g=32 (full assembly 5.6 ms bf16 vs 5.0
+    # f32: the cast traffic eats the lane gains) -- kept for other shapes.
+    jac_dtype: str = "f32"
     # Data association for the point-plane term:
     #   "per_iteration": re-project + re-sample the target maps inside every
     #     LM iteration (reference semantics, super/loss.py:222-248) --

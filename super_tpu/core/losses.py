@@ -544,7 +544,8 @@ def _beta_fm_of(beta_t, xs_elem):
 
 
 def frozen_chunk_partial_fm(geom, o_fm, n_fm, amask, beta_kfm,
-                            weight: float, g_per: int):
+                            weight: float, g_per: int,
+                            jac_dtype=None):
     """Feature-major frozen jacobian -> per-G-block partial Grams.
 
     Value-identical (modulo fp reassociation) to frozen_chunk_jacobian +
@@ -555,18 +556,39 @@ def frozen_chunk_partial_fm(geom, o_fm, n_fm, amask, beta_kfm,
     480p).  The K anchors are batched into (3K, C) stacks
     (_rows_fm_batched) rather than unrolled in Python.
 
-    Returns (partial (C/G, 28*29), sum(r^2)).
+    ``jac_dtype=jnp.bfloat16`` (solver.jac_dtype="bf16") runs the ROW math
+    and the Gram einsum in bf16 (2x VPU lanes, 4x MXU) with f32
+    accumulation; the residual r (and the warp it needs) stays f32, so the
+    LM cost / accept-reject ladder keeps full precision -- only the
+    normal-equation entries carry bf16 rounding, which the damped solve
+    absorbs like the bf16 gram segment sums the headline config already
+    uses.
+
+    Returns (partial (C/G, 28*29) f32, sum(r^2)).
     """
     mask_c, w_fm, knn_fm, diff_fm = geom
     cdim = mask_c.shape[-1]
     tp = _warp_fm_batched(w_fm, knn_fm, diff_fm, beta_kfm)
-    rows = _rows_fm_batched(jnp.broadcast_to(n_fm, (3, cdim)), w_fm,
-                            diff_fm, beta_kfm)
     mask = mask_c & amask
     r = weight * jnp.sum(n_fm * (tp - o_fm), 0)
     r = jnp.where(mask, r, 0.0)
-    h = jnp.where(mask[None], weight * rows, 0.0)
     nb = cdim // g_per
+    if jac_dtype is not None and jac_dtype != w_fm.dtype:
+        bf = jac_dtype
+        rows = _rows_fm_batched(
+            jnp.broadcast_to(n_fm, (3, cdim)).astype(bf),
+            w_fm.astype(bf), diff_fm.astype(bf), beta_kfm.astype(bf))
+        h = jnp.where(mask[None], jnp.asarray(weight, bf) * rows,
+                      jnp.asarray(0.0, bf))
+        hb = h.reshape(28, nb, g_per)
+        ext = jnp.concatenate([hb, r.astype(bf).reshape(1, nb, g_per)],
+                              axis=0)
+        part = jnp.einsum("ing,jng->nij", hb, ext,
+                          preferred_element_type=jnp.float32)
+        return part.reshape(nb, 28 * 29).astype(r.dtype), jnp.sum(r * r)
+    rows = _rows_fm_batched(jnp.broadcast_to(n_fm, (3, cdim)), w_fm,
+                            diff_fm, beta_kfm)
+    h = jnp.where(mask[None], weight * rows, 0.0)
     hb = h.reshape(28, nb, g_per)
     ext = jnp.concatenate([hb, r.reshape(1, nb, g_per)], axis=0)
     part = jnp.einsum("ing,jng->nij", hb, ext)         # (nb, 28, 29)
@@ -1116,8 +1138,10 @@ def _data_normal_eq_tuple(cfg, ctx, beta, intr, weight, jtj, jtr,
         beta_kfm = _beta_fm_of(beta_t, xs_elem)
         if assoc_elem is not None:  # frozen association
             o, n, am = assoc_elem
-            return frozen_chunk_partial_fm(geom, o, n, am, beta_kfm,
-                                           weight, g_per)
+            return frozen_chunk_partial_fm(
+                geom, o, n, am, beta_kfm, weight, g_per,
+                jac_dtype=(jnp.bfloat16 if sol.jac_dtype == "bf16"
+                           else None))
         if pre_elem is not None:    # pre-sampled moving mix
             m_fm, r_mv, mask_mv = pre_elem
             return premixed_chunk_partial_fm(geom, m_fm, r_mv, mask_mv,

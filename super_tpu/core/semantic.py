@@ -46,6 +46,12 @@ class SemanticExtras(NamedTuple):
     # flow match, or None to anchor at the current warped projection (the
     # sf_corr_match_renderimg mode, where the flow tracks the render).
     src_uv: Optional[jnp.ndarray] = None
+    # (4*2C, H*W) corner bank of [seg_conf_image; edge_dt]
+    # (ops/bilinear.py:build_corner_bank_image): bn_morph samples both
+    # fields with ONE 1-index-per-query gather instead of two
+    # (N, 4)-minor-axis image gathers (whose 4 -> 128 tile padding made
+    # the bn_morph grad the semantic iteration's dominant 43 ms).
+    morph_bank: Optional[jnp.ndarray] = None
 
 
 def build_semantic_extras(cfg: SuPerConfig, frame_seg, frame_seg_conf,
@@ -53,17 +59,22 @@ def build_semantic_extras(cfg: SuPerConfig, frame_seg, frame_seg_conf,
                           src_uv=None) -> SemanticExtras:
     """Precompute the per-class boundary distance transforms (pixel metric,
     kernel-3 edges as in deform_mesh.py:146-152)."""
+    from super_tpu.ops.bilinear import build_corner_bank_image
+
     c = cfg.num_classes
     dts = []
     for cid in range(c):
         edge = find_edge_region(frame_seg, c, class_list=[cid], kernel=3)
         dts.append(chamfer_distance_transform(edge, 1.0, 1.0, iterations=64))
+    edge_dt = jnp.stack(dts)
     return SemanticExtras(
         seg_conf_image=frame_seg_conf,
-        edge_dt=jnp.stack(dts),
+        edge_dt=edge_dt,
         color_image=color_image,
         flow=flow,
         src_uv=src_uv,
+        morph_bank=build_corner_bank_image(
+            jnp.concatenate([frame_seg_conf, edge_dt], axis=0)),
     )
 
 
@@ -74,21 +85,24 @@ def bn_morph_loss(cfg: SuPerConfig, extras: SemanticExtras, warped_points,
     Args:
       warped_points: (3, Np) warped surfels; sf_seg: (Np,); sf_mask: (Np,).
     """
+    from super_tpu.ops.bilinear import bilinear_sample_bank_image
+
     h, w = cfg.height, cfg.width
     v, u, _, _ = project_points(warped_points, intr, h, w)
     inb = (u > -1) & (u < w) & (v > -1) & (v < h)
 
-    # Sampled class at the projection (grid_sample parity,
-    # deform_mesh.py:136-139); stop-grad (it gates, it doesn't pull).
-    conf, _ = bilinear_sample_image(extras.seg_conf_image,
-                                    jax.lax.stop_gradient(v),
-                                    jax.lax.stop_gradient(u))
+    # ONE corner-bank gather samples the class gate AND the per-class DT:
+    # conf rows combine with stop-grad weights (grid_sample-at-detached-
+    # coords parity, deform_mesh.py:136-139 -- the gate doesn't pull), dt
+    # rows differentiably (the pull flows through the projection).
+    c = extras.edge_dt.shape[0]
+    vals_fm, _ = bilinear_sample_bank_image(
+        extras.morph_bank, 2 * c, h, w, v, u, stop_grad_rows=(0, c))
+    conf = vals_fm[:c].T                                      # (Np, C)
     new_seg = jnp.argmax(conf, axis=-1)
     morph = sf_mask & inb & (new_seg != sf_seg)
 
-    # Squared DT of the surfel's own class, sampled differentiably.
-    c = extras.edge_dt.shape[0]
-    dt_all, _ = bilinear_sample_image(extras.edge_dt, v, u)   # (Np, C)
+    dt_all = vals_fm[c:].T                                    # (Np, C)
     dt_own = jnp.take_along_axis(dt_all, sf_seg[:, None], axis=1)[:, 0]
 
     # Filter: ignore surfels closer to the image border than to the

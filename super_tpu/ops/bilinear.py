@@ -468,3 +468,69 @@ def bilinear_sample_image(image_fm, v, u):
     values = jnp.sum(gathered * (wn * wm)[..., None], axis=1)
     in_bounds = (v >= 0) & (v <= h - 1) & (u >= 0) & (u <= w - 1)
     return values, in_bounds
+
+
+def build_corner_bank_image(image_fm):
+    """(F, H, W) dense image -> (4F, H*W) corner bank: row block c*F..c*F+F
+    holds the image shifted so column (n*W + m) carries corner c of the
+    bilinear stencil anchored at (n, m) -- edge-replicated, which equals
+    the clamped-corner convention of ``bilinear_sample_image`` for every
+    query whose floor cell is in frame.
+
+    Build cost: one streamed pass over 4F x P (XLA fuses the shifts); the
+    payoff is sampling at ONE gather index per query
+    (``bilinear_sample_bank_image``) instead of the (N, 4)-minor-axis
+    gather of ``bilinear_sample_image``, whose (F, N, 4) result pads its
+    trailing dim 4 -> 128 on TPU (32x memory) -- measured as the dominant
+    cost of the bn_morph term (grad 43 ms/iteration at 480p).
+    """
+    f, h, w = image_fm.shape
+    right = jnp.concatenate([image_fm[:, :, 1:], image_fm[:, :, -1:]],
+                            axis=2)
+    down = jnp.concatenate([image_fm[:, 1:], image_fm[:, -1:]], axis=1)
+    down_right = jnp.concatenate([down[:, :, 1:], down[:, :, -1:]], axis=2)
+    return jnp.concatenate([
+        image_fm.reshape(f, h * w), right.reshape(f, h * w),
+        down.reshape(f, h * w), down_right.reshape(f, h * w)], axis=0)
+
+
+def bilinear_sample_bank_image(bank, f, h, w, v, u, *, stop_grad_rows=None):
+    """Bilinear sampling from a ``build_corner_bank_image`` bank.
+
+    Returns ((F, N) values feature-major, (N,) in-bounds mask).  Exact vs
+    ``bilinear_sample_image`` whenever floor(v) in [0, h-1] and floor(u)
+    in [0, w-1] (all four clamped corners coincide with the bank's
+    edge-replicated stencil); farther out-of-bounds queries deviate and
+    must be masked by the caller (``in_bounds`` is False there anyway).
+
+    ``stop_grad_rows``: optional (start, end) half-open row range whose
+    values are combined with STOP-GRADIENT bilinear weights (e.g. a
+    class-confidence gate sampled alongside a differentiable field from
+    the same gather).
+    """
+    n0 = jnp.floor(v)
+    m0 = jnp.floor(u)
+    ni = jnp.clip(n0.astype(jnp.int32), 0, h - 1)
+    mi = jnp.clip(m0.astype(jnp.int32), 0, w - 1)
+    g = jnp.take(bank, ni * w + mi, axis=-1)           # (4F, N)
+    av = v - n0
+    au = u - m0
+    w00 = (1.0 - av) * (1.0 - au)
+    w01 = (1.0 - av) * au
+    w10 = av * (1.0 - au)
+    w11 = av * au
+    ws = (w00, w01, w10, w11)
+
+    def combine(weights):
+        return (weights[0] * g[0:f] + weights[1] * g[f:2 * f]
+                + weights[2] * g[2 * f:3 * f] + weights[3] * g[3 * f:4 * f])
+
+    vals = combine(ws)
+    if stop_grad_rows is not None:
+        s, e = stop_grad_rows
+        sg = tuple(jax.lax.stop_gradient(x) for x in ws)
+        vals_sg = combine(sg)
+        vals = jnp.concatenate([vals[:s], vals_sg[s:e], vals[e:]], axis=0) \
+            if (s > 0 or e < f) else vals_sg
+    in_bounds = (v >= 0) & (v <= h - 1) & (u >= 0) & (u <= w - 1)
+    return vals, in_bounds
