@@ -42,6 +42,8 @@ def main():
                          "also get the bench's dense assembly caps")
     ap.add_argument("--pcg_iterations", type=int, default=None)
     ap.add_argument("--gram_sum_dtype", default=None)
+    ap.add_argument("--learning_rate", type=float, default=None,
+                    help="override autograd learning rate (semantic mode)")
     ap.add_argument("--semantic", action="store_true",
                     help="Semantic-SuPer autograd config (soft-seg ICP + "
                          "rot + face + bn_morph, Adam) on 2-class "
@@ -87,7 +89,7 @@ def main():
     solver_kw = {}
     if args.semantic:
         solver_kw.update(use_derived_gradient=False, optimizer="Adam",
-                         learning_rate=2e-4)
+                         learning_rate=args.learning_rate or 2e-4)
     if args.solver:
         solver_kw["linear_solver"] = args.solver
     if args.pcg_iterations is not None:
