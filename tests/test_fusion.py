@@ -234,3 +234,28 @@ def test_deferred_add_overflow_bounds_map_deficit():
     # Deficit bounded by the reported backlog at every frame.
     for t, (nf, ns, of) in enumerate(zip(n_full, n_small, of_small)):
         assert nf - ns <= of + 8, (t, nf, ns, of)
+
+
+def test_fast_path_matches_eager_when_single_layer(tracked_state):
+    """The lazy sort-mode fusion (fast branch: no layer maps, winner =
+    gating surfel) must produce the same state as the eager scatter-mode
+    program on a map with no multi-layer pixel."""
+    import jax
+
+    cfg, intr, st = tracked_state
+    _, _, seq, frames = tiny_scene(num_frames=2)
+    frame = frames[1]
+    # Verify the precondition: no pixel with >= 2 projected surfels.
+    pid, _, _, _ = fusion_mod.build_projection_maps(cfg, intr, st.surfels)
+    assert int(np.asarray((pid[1] >= 0).sum())) == 0
+
+    out_sort = jax.jit(lambda s, f: fusion_mod.fuse_frame(
+        cfg, intr, s, st.graph, f))(st.surfels, frame)
+    cfg_sc = cfg.replace(proj_map_mode="scatter")
+    out_scat = jax.jit(lambda s, f: fusion_mod.fuse_frame(
+        cfg_sc, intr, s, st.graph, f))(st.surfels, frame)
+    for a, b in zip(jax.tree.leaves(out_sort[0]),
+                    jax.tree.leaves(out_scat[0])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(out_sort[1]),
+                                  np.asarray(out_scat[1]))
