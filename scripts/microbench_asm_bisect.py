@@ -27,6 +27,8 @@ def main():
                     help="override assembly_chunk")
     ap.add_argument("--jac_dtype", default=None,
                     help="override solver.jac_dtype (library 'full' stage)")
+    ap.add_argument("--pad_group", type=int, default=None,
+                    help="override assembly_pad_group")
     args = ap.parse_args()
 
     import dataclasses
@@ -51,6 +53,9 @@ def main():
     if args.jac_dtype:
         cfg = cfg.replace(solver=dataclasses.replace(
             cfg.solver, jac_dtype=args.jac_dtype))
+    if args.pad_group:
+        cfg = cfg.replace(solver=dataclasses.replace(
+            cfg.solver, assembly_pad_group=args.pad_group))
     ctx = jax.jit(lambda s: L.prepare_lm(cfg, s.surfels, s.graph,
                                          frames[1]))(state0)
     j_cap = cfg.capacity.node_capacity
