@@ -47,6 +47,13 @@ def build_workload(args, mesh_step: int, association: str,
     node_cap = round64(len(anchors))
     chunk = 32768
     surfel_cap = -(-int(1.25 * h * w) // chunk) * chunk  # headroom, aligned
+    if node_cap <= 512 and not semantic:
+        # pad_group 64 cuts the per-trip assembly from 5.0 to 4.2 ms
+        # (g=128 measures 3.66 but its ~165k padding slots overflow the
+        # slot space).  The extra ~83k padding slots (~2.6k steady-state
+        # tuples x g/2) need one more capacity chunk of headroom;
+        # tuple_overflow in the JSON line guards the margin.
+        surfel_cap += chunk
     num_classes = 2
     extra_cfg = {}
     if semantic:
@@ -92,6 +99,8 @@ def build_workload(args, mesh_step: int, association: str,
         state0 = init_tracker(cfg, frames[0])
         return cfg, intr, state0, frames
     solver_kw = dict(association=association)
+    if node_cap <= 512:
+        solver_kw.update(assembly_pad_group=64)
     if node_cap > 512:
         # Dense ED graph (mesh_step 16-ish): more distinct anchor
         # tuples, and the 7J Cholesky loses to block-Jacobi PCG.
