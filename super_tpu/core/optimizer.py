@@ -147,6 +147,11 @@ def _warp_all(cfg, ctx: LMContext, deform):
         warped = transform_quat_t(warped, t_g[0:4]) + t_g[4:7]
         return warped.T  # (3, C)
 
+    # Rematerialize the chunk body under reverse-mode AD: the warp's
+    # (3K, C) intermediates (cross products, rotated stacks) would
+    # otherwise be SAVED to HBM per chunk in the forward and re-read in
+    # the backward; recomputing them costs flops the VPU has to spare.
+    one = jax.checkpoint(one)
     if nc == 1:
         return one(jax.tree.map(lambda a: a[0], xs))
     _, ys = jax.lax.scan(lambda c, x: (c, one(x)), None, xs)
